@@ -1,0 +1,200 @@
+"""CSR-packed routing graph + bounded Dijkstra (the in-actor road map).
+
+Replaces the reference's per-process ``DiGraphMap`` + hashmaps + R-trees
+(``routers_codec/src/osm/graph.rs:41-52``) with flat NumPy arrays built once
+per actor from the partitioned network store:
+
+- nodes: ``node_ids`` (sorted int64) + lon/lat arrays;
+- directed edges in CSR layout sorted by (src, dst, edge_id) — the engine's
+  deterministic successor order (the reference's hashmap order is
+  unspecified; determinism is part of this engine's spec);
+- ``SuccessorsCache`` (``primitives/cache.rs:178-222``) is simply the CSR
+  adjacency with precomputed per-edge haversine length in centimeters;
+- the bounded Dijkstra reproduces ``primitives/algorithms/dijkstra.rs:70-160``
+  ordered by ``WeightAndDistance.repr() = (Σw // n)² · Σdist_cm`` (running
+  *integer-division* average road-class weight, squared, times cumulative
+  centimeters — ``primitives/weight_and_distance.rs:15-44``), cut at the
+  2 km threshold via take-while on settled distance
+  (``primitives/cache.rs:289-327``), successors filtered by accessibility.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from heapq import heappop, heappush
+
+import numpy as np
+
+from .geo import haversine_m
+
+DEFAULT_THRESHOLD_CM = 200_000.0  # 2 km in cm (primitives/cache.rs:230)
+U32_MAX = 0xFFFFFFFF
+
+
+@dataclass
+class CSRGraph:
+    node_ids: np.ndarray  # int64, sorted ascending
+    node_lon: np.ndarray  # float64
+    node_lat: np.ndarray
+    indptr: np.ndarray  # int64, len = n_nodes + 1
+    nbr: np.ndarray  # int32 — target node index per directed edge
+    edge_weight: np.ndarray  # uint32 road-class weight 1..100
+    edge_dist_cm: np.ndarray  # uint32 haversine length in centimeters
+    edge_id: np.ndarray  # int64 undirected way id
+    edge_dir: np.ndarray  # uint8 0=forward 1=reverse twin
+    edge_accessible: np.ndarray  # bool
+
+    def n_nodes(self) -> int:
+        return int(self.node_ids.size)
+
+    def node_index(self, node_id) -> np.ndarray:
+        """Map external node ids to CSR indices (-1 when absent)."""
+        ids = np.asarray(node_id, dtype=np.int64)
+        pos = np.searchsorted(self.node_ids, ids)
+        pos = np.clip(pos, 0, self.node_ids.size - 1)
+        ok = self.node_ids[pos] == ids
+        return np.where(ok, pos, -1).astype(np.int64)
+
+    def edge_between(self, src_idx: int, dst_idx: int) -> int:
+        """CSR position of the directed edge src→dst, or -1.
+
+        The reference's ``edge(a, b)`` hash lookup
+        (``routers_codec/src/osm/graph.rs:346-355``); with multiple parallel
+        edges the lowest (edge_id, dir) wins (successor sort order).
+        """
+        lo, hi = int(self.indptr[src_idx]), int(self.indptr[src_idx + 1])
+        sl = self.nbr[lo:hi]
+        hits = np.flatnonzero(sl == dst_idx)
+        return int(lo + hits[0]) if hits.size else -1
+
+
+def build_csr(
+    node_ids, node_lon, node_lat, e_src, e_dst, e_weight, e_dir, e_edge_id, e_accessible
+) -> CSRGraph:
+    """Pack node/edge tables into a CSR graph.
+
+    Edges whose endpoints are missing from the node set are dropped (shard
+    padding guarantees interior completeness — ``routers_shard/src/network.rs:110-169``).
+    """
+    node_ids = np.asarray(node_ids, dtype=np.int64)
+    order = np.argsort(node_ids, kind="stable")
+    node_ids = node_ids[order]
+    node_lon = np.asarray(node_lon, dtype=np.float64)[order]
+    node_lat = np.asarray(node_lat, dtype=np.float64)[order]
+
+    e_src = np.asarray(e_src, dtype=np.int64)
+    e_dst = np.asarray(e_dst, dtype=np.int64)
+    si = np.searchsorted(node_ids, e_src)
+    di = np.searchsorted(node_ids, e_dst)
+    si = np.clip(si, 0, node_ids.size - 1)
+    di = np.clip(di, 0, node_ids.size - 1)
+    ok = (node_ids[si] == e_src) & (node_ids[di] == e_dst)
+
+    si, di = si[ok], di[ok]
+    w = np.asarray(e_weight, dtype=np.uint32)[ok]
+    dr = np.asarray(e_dir, dtype=np.uint8)[ok]
+    eid = np.asarray(e_edge_id, dtype=np.int64)[ok]
+    acc = np.asarray(e_accessible, dtype=bool)[ok]
+
+    # deterministic successor order: (src, dst, edge_id, dir)
+    order = np.lexsort((dr, eid, di, si))
+    si, di, w, dr, eid, acc = si[order], di[order], w[order], dr[order], eid[order], acc[order]
+
+    dist_m = haversine_m(node_lon[si], node_lat[si], node_lon[di], node_lat[di])
+    dist_cm = np.minimum(dist_m * 100.0, U32_MAX).astype(np.uint32)
+
+    indptr = np.zeros(node_ids.size + 1, dtype=np.int64)
+    np.add.at(indptr, si + 1, 1)
+    indptr = np.cumsum(indptr)
+
+    return CSRGraph(
+        node_ids=node_ids,
+        node_lon=node_lon,
+        node_lat=node_lat,
+        indptr=indptr,
+        nbr=di.astype(np.int32),
+        edge_weight=w,
+        edge_dist_cm=dist_cm,
+        edge_id=eid,
+        edge_dir=dr,
+        edge_accessible=acc,
+    )
+
+
+def _repr_u32(num: int, den: int, dist_cm: int) -> int:
+    """``WeightAndDistance::repr`` — integer-average weight squared × distance,
+    computed in f64 and saturating-cast to u32 (``weight_and_distance.rs:36-44``)."""
+    avg = num // den if den else 0
+    v = float(avg * avg) * float(dist_cm)
+    return U32_MAX if v >= U32_MAX else int(v)
+
+
+def bounded_dijkstra(csr: CSRGraph, root: int, threshold_cm: float = DEFAULT_THRESHOLD_CM):
+    """Parent-pointer map of the bounded Dijkstra rooted at ``root``.
+
+    Returns ``(parents, dists_cm)`` dicts keyed by node index. Semantics per
+    ``dijkstra.rs:70-160`` + ``cache.rs:289-327``: settle order by
+    ``WeightAndDistance.repr()`` (ties by insertion order), inaccessible
+    edges skipped, and the iteration *stops entirely* at the first settled
+    node whose cumulative distance reaches the threshold (Rust
+    ``take_while`` over the settle stream — later nodes are discarded even
+    if nearer)."""
+    parents: dict[int, int] = {}
+    dists: dict[int, int] = {}
+    # node -> (repr, num, den, dist) best known
+    best: dict[int, tuple[int, int, int, int]] = {root: (0, 0, 0, 0)}
+    seen: set[int] = set()
+    counter = 0
+    heap: list[tuple[int, int, int]] = [(0, counter, root)]
+    indptr, nbr = csr.indptr, csr.nbr
+    e_w, e_d, e_acc = csr.edge_weight, csr.edge_dist_cm, csr.edge_accessible
+
+    while heap:
+        rep, _, node = heappop(heap)
+        if node in seen:
+            continue
+        seen.add(node)
+        _, num, den, dist = best[node]
+        if float(dist) >= threshold_cm:
+            break  # take_while: cut the whole stream
+        dists[node] = dist
+        lo, hi = int(indptr[node]), int(indptr[node + 1])
+        for e in range(lo, hi):
+            if not e_acc[e]:
+                continue
+            nxt = int(nbr[e])
+            if nxt in seen:
+                # parent pointers are captured at settle time (the reference
+                # collects the emitted item stream, dijkstra.rs:84-92) —
+                # never rewrite a settled node's parent
+                continue
+            n_num = num + int(e_w[e])
+            n_den = den + 1
+            n_dist = dist + int(e_d[e])
+            n_rep = _repr_u32(n_num, n_den, n_dist)
+            old = best.get(nxt)
+            if old is None or old[0] > n_rep:
+                best[nxt] = (n_rep, n_num, n_den, n_dist)
+                parents[nxt] = node
+                counter += 1
+                heappush(heap, (n_rep, counter, nxt))
+    # keep only settled nodes (matches the reference's emitted stream)
+    parents = {k: v for k, v in parents.items() if k in dists}
+    return parents, dists
+
+
+def parent_path(parents: dict[int, int], root: int, leaf: int) -> list[int] | None:
+    """Nodes root→leaf inclusive via parent pointers, or None if unreachable
+    (``weigh/expansion.rs:17-39``)."""
+    if leaf == root:
+        return [root]
+    nodes = [leaf]
+    cursor = leaf
+    while cursor != root:
+        parent = parents.get(cursor)
+        if parent is None:
+            return None
+        nodes.append(parent)
+        cursor = parent
+    nodes.reverse()
+    return nodes

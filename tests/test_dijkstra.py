@@ -1,0 +1,103 @@
+"""CSR graph + bounded Dijkstra tests (reference semantics:
+``primitives/algorithms/dijkstra.rs``, ``primitives/cache.rs:224-327``,
+``primitives/weight_and_distance.rs``)."""
+
+import numpy as np
+
+from routers_ray.csr import (
+    CSRGraph,
+    _repr_u32,
+    bounded_dijkstra,
+    build_csr,
+    parent_path,
+)
+
+
+def line_graph(n=5, spacing_deg=0.001, weight=1):
+    """n nodes on the equator, directed chain 0→1→…→n-1 (~111 m apart)."""
+    node_ids = np.arange(n, dtype=np.int64) * 10
+    lon = np.arange(n) * spacing_deg
+    lat = np.zeros(n)
+    src = node_ids[:-1]
+    dst = node_ids[1:]
+    k = n - 1
+    return build_csr(
+        node_ids, lon, lat, src, dst,
+        np.full(k, weight), np.zeros(k), np.arange(k), np.ones(k, dtype=bool),
+    )
+
+
+def test_build_csr_basic():
+    g = line_graph()
+    assert g.n_nodes() == 5
+    assert g.indptr[-1] == 4
+    assert g.edge_between(0, 1) >= 0
+    assert g.edge_between(1, 0) == -1
+
+
+def test_node_index_lookup():
+    g = line_graph()
+    idx = g.node_index([0, 10, 40, 99])
+    assert idx.tolist() == [0, 1, 4, -1]
+
+
+def test_dijkstra_chain_parents():
+    g = line_graph()
+    parents, dists = bounded_dijkstra(g, 0)
+    assert parent_path(parents, 0, 4) == [0, 1, 2, 3, 4]
+    assert parent_path(parents, 0, 0) == [0]
+    # ~111m per hop → dist monotone
+    assert dists[4] > dists[3] > dists[2] > 0
+
+
+def test_dijkstra_bounded_cut():
+    # chain of ~111m hops, cut at 300m: reachable nodes ≤ ~2 hops past cut
+    g = line_graph(n=10)
+    parents, dists = bounded_dijkstra(g, 0, threshold_cm=30_000)
+    assert 3 not in dists or dists[3] < 30_000
+    assert 9 not in dists
+    assert parent_path(parents, 0, 9) is None
+
+
+def test_dijkstra_inaccessible_edges_skipped():
+    node_ids = np.array([1, 2, 3], dtype=np.int64)
+    lon = np.array([0.0, 0.001, 0.002])
+    lat = np.zeros(3)
+    src = np.array([1, 2], dtype=np.int64)
+    dst = np.array([2, 3], dtype=np.int64)
+    g = build_csr(node_ids, lon, lat, src, dst, [1, 1], [0, 0], [0, 1], [True, False])
+    parents, dists = bounded_dijkstra(g, 0)
+    assert 1 in dists and 2 not in dists
+
+
+def test_quadratic_weight_prefers_high_class():
+    """WeightAndDistance quadratic weighting: a short low-class detour loses
+    to a longer same-class route (weight_and_distance.rs doc example)."""
+    # A --motorway(w=1, 2 hops)--> C     vs    A --offramp(w=10, 1 hop)--> C
+    node_ids = np.array([1, 2, 3], dtype=np.int64)
+    lon = np.array([0.0, 0.0005, 0.001])
+    lat = np.array([0.0, 0.0, 0.0])
+    src = np.array([1, 2, 1], dtype=np.int64)
+    dst = np.array([2, 3, 3], dtype=np.int64)
+    w = np.array([1, 1, 10])
+    g = build_csr(node_ids, lon, lat, src, dst, w, [0, 0, 0], [0, 1, 2], [True] * 3)
+    parents, _ = bounded_dijkstra(g, 0)
+    # direct edge 1→3 has repr 100·111m·100cm ≈ 1.1e6; via 2: avg w 1 → repr ≈ 1.1e4
+    assert parent_path(parents, 0, 2) == [0, 1, 2]
+
+
+def test_repr_integer_average():
+    # avg weight uses integer division: (3+2)//2 = 2 → repr = 4·dist
+    assert _repr_u32(5, 2, 100) == 400
+    assert _repr_u32(0, 0, 100) == 0  # zero start
+    assert _repr_u32(1, 1, 2**40) == 0xFFFFFFFF  # saturating cast
+
+
+def test_deterministic_successor_order():
+    # parallel edges sorted by (dst, edge_id, dir) within a source
+    node_ids = np.array([1, 2], dtype=np.int64)
+    g = build_csr(
+        node_ids, [0.0, 0.001], [0.0, 0.0],
+        [1, 1], [2, 2], [5, 1], [0, 0], [7, 3], [True, True],
+    )
+    assert g.edge_id[0] == 3 and g.edge_id[1] == 7
