@@ -1,0 +1,481 @@
+"""Road-network tables, the partitioned network store, and in-actor networks.
+
+Three layers, mirroring the reference's network lifecycle:
+
+1. **Tables** — ``nodes(node_id, lon, lat)`` and directed
+   ``edges(edge_id, src, dst, weight, dir, accessible)`` (bidirectional ways
+   are two rows, ``osm/graph.rs:237-252``); :func:`synth_network` generates a
+   deterministic city-grid + motorway-spine world for tests/bench.
+2. **Partitioned store** — the shard-build job
+   (``routers_shard/bin/generate-shards.rs:55-130``): fattened edge rows
+   replicated into every partition-zoom cell their padded envelope touches
+   (padding ≥ the 2 km Dijkstra bound, vs the reference's 1000 m shard
+   padding — ``generate-shards.rs:15``, ``primitives/cache.rs:230``), written
+   as cell-partitioned Parquet + a JSON manifest. At 100 TB this is the only
+   all-to-all move of the map, done once.
+3. **In-actor network** — :class:`CellNetwork` builds, per cell-set, the CSR
+   graph + the cell-binned candidate index (the R-tree stand-in,
+   ``routers_network/src/primitive/index.rs``); :class:`NetworkStore` pages
+   cell partitions from disk with an LRU, the Ray-side analogue of
+   ``ShardLoader``/``MultiShardNetwork`` (``routers_shard/src/loader``,
+   ``composite/network.rs:85-131``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import cells
+from .costing import DEFAULT_SEARCH_DISTANCE_M, emission_cost
+from .csr import CSRGraph, build_csr
+from .geo import destination, haversine_m, point_at_fraction, segment_locate_fraction
+
+DEFAULT_PARTITION_ZOOM = 12  # ~5-10 km tiles at working latitudes (geohash-4 analogue)
+DEFAULT_JOIN_ZOOM = 17  # candidate-index bin size ~150-300 m ≥ search box
+DEFAULT_PADDING_M = 2_500.0  # ≥ 2 km Dijkstra bound + 50 m search
+
+
+# ---------------------------------------------------------------------------
+# synthetic world
+
+
+def synth_network(
+    seed: int = 42,
+    n_cities: int = 3,
+    grid: tuple[int, int] = (14, 14),
+    pitch_deg: float = 0.001,  # ~111 m — the reference mock straight_net pitch
+    city_spacing_deg: float = 0.35,
+    origin: tuple[float, float] = (-118.5, 34.0),
+    oneway_frac: float = 0.1,
+) -> tuple[pa.Table, pa.Table]:
+    """Deterministic synthetic road world: per-city grids + a motorway spine.
+
+    Grid streets carry residential-class weight 40, the spine weight 1
+    (``RoadClass::weighting`` Motorway=1 … Pedestrian=100,
+    ``osm/parsers/primitives/road_class.rs:118-146``). A fraction of grid
+    streets are one-way (single directed row); the rest emit forward+reverse
+    twins sharing an ``edge_id`` (``osm/graph.rs:237-252``).
+    """
+    rng = np.random.default_rng(seed)
+    gx, gy = grid
+    node_ids, lons, lats = [], [], []
+    e_id, e_src, e_dst, e_w, e_dir = [], [], [], [], []
+    next_edge = 0
+    city_centers = []
+
+    for c in range(n_cities):
+        base = c * 1_000_000
+        cx = origin[0] + c * city_spacing_deg
+        cy = origin[1] + (c % 2) * 0.5 * city_spacing_deg
+        city_centers.append((cx, cy, base + (gy // 2) * gx + (gx // 2)))
+        jitter = rng.normal(0.0, pitch_deg * 0.05, size=(gy * gx, 2))
+        for j in range(gy):
+            for i in range(gx):
+                nid = base + j * gx + i
+                node_ids.append(nid)
+                lons.append(cx + i * pitch_deg + jitter[j * gx + i, 0])
+                lats.append(cy + j * pitch_deg + jitter[j * gx + i, 1])
+
+        def _street(a, b):
+            nonlocal next_edge
+            eid = next_edge
+            next_edge += 1
+            oneway = rng.random() < oneway_frac
+            e_id.append(eid), e_src.append(a), e_dst.append(b), e_w.append(40), e_dir.append(0)
+            if not oneway:
+                e_id.append(eid), e_src.append(b), e_dst.append(a), e_w.append(40), e_dir.append(1)
+
+        for j in range(gy):
+            for i in range(gx):
+                nid = base + j * gx + i
+                if i + 1 < gx:
+                    _street(nid, nid + 1)
+                if j + 1 < gy:
+                    _street(nid, nid + gx)
+
+    # motorway spine: chain of city centers with midpoints
+    for c in range(len(city_centers) - 1):
+        ax, ay, an = city_centers[c]
+        bx, by, bn = city_centers[c + 1]
+        mid_id = 90_000_000 + c
+        node_ids.append(mid_id)
+        lons.append((ax + bx) / 2.0)
+        lats.append((ay + by) / 2.0)
+        for a, b in ((an, mid_id), (mid_id, bn)):
+            eid = next_edge
+            next_edge += 1
+            e_id.append(eid), e_src.append(a), e_dst.append(b), e_w.append(1), e_dir.append(0)
+            e_id.append(eid), e_src.append(b), e_dst.append(a), e_w.append(1), e_dir.append(1)
+
+    nodes = pa.table(
+        {
+            "node_id": pa.array(node_ids, pa.int64()),
+            "lon": pa.array(lons, pa.float64()),
+            "lat": pa.array(lats, pa.float64()),
+        }
+    )
+    n_e = len(e_id)
+    edges = pa.table(
+        {
+            "edge_id": pa.array(e_id, pa.int64()),
+            "src": pa.array(e_src, pa.int64()),
+            "dst": pa.array(e_dst, pa.int64()),
+            "weight": pa.array(e_w, pa.uint32()),
+            "dir": pa.array(e_dir, pa.uint8()),
+            "accessible": pa.array([True] * n_e, pa.bool_()),
+        }
+    )
+    return nodes, edges
+
+
+def fatten_edges(nodes: pa.Table, edges: pa.Table) -> pa.Table:
+    """Edge rows + endpoint coordinates — the reference's ``fatten`` hash
+    join (``routers_network/src/traits/data_plane.rs:65``,
+    ``osm/graph.rs:428-443``), done once as an array gather."""
+    nid = np.asarray(nodes["node_id"], dtype=np.int64)
+    order = np.argsort(nid, kind="stable")
+    nid_s = nid[order]
+    lon_s = np.asarray(nodes["lon"], dtype=np.float64)[order]
+    lat_s = np.asarray(nodes["lat"], dtype=np.float64)[order]
+
+    def _gather(ids):
+        pos = np.searchsorted(nid_s, ids)
+        if np.any(nid_s[np.clip(pos, 0, nid_s.size - 1)] != ids):
+            raise ValueError("edge endpoint missing from node table")
+        return lon_s[pos], lat_s[pos]
+
+    src = np.asarray(edges["src"], dtype=np.int64)
+    dst = np.asarray(edges["dst"], dtype=np.int64)
+    ax, ay = _gather(src)
+    bx, by = _gather(dst)
+    out = edges
+    for name, arr in (("ax", ax), ("ay", ay), ("bx", bx), ("by", by)):
+        out = out.append_column(name, pa.array(arr, pa.float64()))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# partitioned store (shard build)
+
+
+def edge_partition_rows(fat: pa.Table, partition_zoom: int, padding_m: float) -> pa.Table:
+    """Explode fattened edges into (cell, edge) rows — one row per padded
+    covering cell. The padding replication is the spatial semi-join that
+    builds shards (``routers_shard/src/network.rs:110-169``)."""
+    ax = np.asarray(fat["ax"], dtype=np.float64)
+    ay = np.asarray(fat["ay"], dtype=np.float64)
+    bx = np.asarray(fat["bx"], dtype=np.float64)
+    by = np.asarray(fat["by"], dtype=np.float64)
+    dlon, dlat = cells.meters_to_deg(np.median(ay) if ay.size else 0.0, padding_m)
+    rows, cc = cells.segment_covering_cells(ax, ay, bx, by, partition_zoom, dlon, dlat)
+    taken = fat.take(pa.array(rows))
+    return taken.append_column("cell", pa.array(cc.astype(np.int64), pa.int64()))
+
+
+def build_network_store(
+    nodes: pa.Table,
+    edges: pa.Table,
+    store_dir: str,
+    partition_zoom: int = DEFAULT_PARTITION_ZOOM,
+    join_zoom: int = DEFAULT_JOIN_ZOOM,
+    padding_m: float = DEFAULT_PADDING_M,
+    use_ray: bool = True,
+) -> dict:
+    """The network-partitioning job (SURVEY §3.2 Ray shape): fatten →
+    padded-cell replication → write cell-partitioned Parquet + manifest.
+
+    With ``use_ray`` the explode + write run as a Dataset pipeline
+    (``map_batches`` → ``write_parquet(partition_cols=['cell'])``); the
+    driver-side path is used by unit tests and tiny fixtures.
+    """
+    os.makedirs(store_dir, exist_ok=True)
+    fat = fatten_edges(nodes, edges)
+
+    if use_ray:
+        import ray.data as rd
+
+        ds = rd.from_arrow(fat)
+
+        def _explode(batch: pa.Table) -> pa.Table:
+            return edge_partition_rows(batch, partition_zoom, padding_m)
+
+        out = ds.map_batches(_explode, batch_format="pyarrow")
+        out.write_parquet(os.path.join(store_dir, "edges"), partition_cols=["cell"])
+        part = None
+    else:
+        part = edge_partition_rows(fat, partition_zoom, padding_m)
+        pq.write_to_dataset(
+            part,
+            os.path.join(store_dir, "edges"),
+            partition_cols=["cell"],
+            existing_data_behavior="delete_matching",
+        )
+
+    # manifest: lineage of the build (cells + row counts + config)
+    cells_rows: dict[str, int] = {}
+    edges_root = os.path.join(store_dir, "edges")
+    for d in sorted(os.listdir(edges_root)):
+        if d.startswith("cell="):
+            n = 0
+            cdir = os.path.join(edges_root, d)
+            for f in os.listdir(cdir):
+                if f.endswith(".parquet"):
+                    n += pq.read_metadata(os.path.join(cdir, f)).num_rows
+            cells_rows[d.split("=", 1)[1]] = n
+    manifest = {
+        "version": 1,
+        "partition_zoom": partition_zoom,
+        "join_zoom": join_zoom,
+        "padding_m": padding_m,
+        "n_cells": len(cells_rows),
+        "cells": cells_rows,
+    }
+    tmp = os.path.join(store_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(store_dir, "manifest.json"))
+    return manifest
+
+
+# ---------------------------------------------------------------------------
+# in-actor network
+
+
+@dataclass
+class CellNetwork:
+    """A merged, queryable network for one cell-set: CSR routing graph +
+    cell-binned candidate index.
+
+    ``edges_at_distance`` reproduces the reference's *square* R-tree scan —
+    edges whose envelope intersects the square box around a point, without a
+    final radial filter (``routers_transition/.../discovery.rs:95-100``,
+    ``index.rs:73-79``; the square-not-circle caveat is the reference's own).
+    Candidate order is pinned to ascending (edge_id, dir) — the engine's
+    deterministic replacement for R-tree scan order (SURVEY §7 hard parts).
+    """
+
+    csr: CSRGraph
+    # fattened directed-edge arrays, deduped, sorted by (edge_id, dir)
+    edge_id: np.ndarray
+    dir: np.ndarray
+    src: np.ndarray
+    dst: np.ndarray
+    weight: np.ndarray
+    accessible: np.ndarray
+    ax: np.ndarray
+    ay: np.ndarray
+    bx: np.ndarray
+    by: np.ndarray
+    join_zoom: int
+    search_radius_m: float
+    _bins: dict[int, np.ndarray] = field(default_factory=dict)
+    _pred_cache: dict = field(default_factory=dict)  # root idx → (parents, dists)
+
+    @classmethod
+    def from_edge_rows(
+        cls,
+        tbl: pa.Table,
+        join_zoom: int = DEFAULT_JOIN_ZOOM,
+        search_radius_m: float = DEFAULT_SEARCH_DISTANCE_M,
+    ) -> "CellNetwork":
+        eid = np.asarray(tbl["edge_id"], dtype=np.int64)
+        dr = np.asarray(tbl["dir"], dtype=np.uint8)
+        src = np.asarray(tbl["src"], dtype=np.int64)
+        dst = np.asarray(tbl["dst"], dtype=np.int64)
+        w = np.asarray(tbl["weight"], dtype=np.uint32)
+        acc = np.asarray(tbl["accessible"], dtype=bool)
+        ax = np.asarray(tbl["ax"], dtype=np.float64)
+        ay = np.asarray(tbl["ay"], dtype=np.float64)
+        bx = np.asarray(tbl["bx"], dtype=np.float64)
+        by = np.asarray(tbl["by"], dtype=np.float64)
+
+        # dedup padding replicas: first-wins on (edge_id, dir) — the
+        # multi-shard seen-set (composite/network.rs:89-131)
+        order = np.lexsort((dr, eid))
+        eid, dr, src, dst, w, acc, ax, ay, bx, by = (
+            a[order] for a in (eid, dr, src, dst, w, acc, ax, ay, bx, by)
+        )
+        keep = np.ones(eid.size, dtype=bool)
+        if eid.size:
+            keep[1:] = (eid[1:] != eid[:-1]) | (dr[1:] != dr[:-1])
+        eid, dr, src, dst, w, acc, ax, ay, bx, by = (
+            a[keep] for a in (eid, dr, src, dst, w, acc, ax, ay, bx, by)
+        )
+
+        # node set from endpoints (first occurrence keeps coords)
+        all_ids = np.concatenate([src, dst])
+        all_lon = np.concatenate([ax, bx])
+        all_lat = np.concatenate([ay, by])
+        uniq, first = np.unique(all_ids, return_index=True)
+        csr = build_csr(uniq, all_lon[first], all_lat[first], src, dst, w, dr, eid, acc)
+
+        net = cls(
+            csr=csr,
+            edge_id=eid,
+            dir=dr,
+            src=src,
+            dst=dst,
+            weight=w,
+            accessible=acc,
+            ax=ax,
+            ay=ay,
+            bx=bx,
+            by=by,
+            join_zoom=join_zoom,
+            search_radius_m=search_radius_m,
+        )
+        net._build_bins()
+        return net
+
+    def _build_bins(self) -> None:
+        if self.edge_id.size == 0:
+            return
+        lat0 = float(np.median(self.ay))
+        dlon, dlat = cells.meters_to_deg(lat0, self.search_radius_m * 1.05)
+        rows, cc = cells.segment_covering_cells(
+            self.ax, self.ay, self.bx, self.by, self.join_zoom, dlon, dlat
+        )
+        order = np.argsort(cc, kind="stable")
+        cc, rows = cc[order], rows[order]
+        bounds = np.flatnonzero(np.concatenate(([True], cc[1:] != cc[:-1])))
+        bounds = np.append(bounds, cc.size)
+        for i in range(bounds.size - 1):
+            self._bins[int(cc[bounds[i]])] = rows[bounds[i] : bounds[i + 1]]
+
+    def edges_at_distance(self, lon: float, lat: float, distance_m: float) -> np.ndarray:
+        """Edge row indices whose envelope intersects the square box around
+        the point, ascending (already sorted by (edge_id, dir))."""
+        rows = self._bins.get(int(cells.lonlat_to_cell(lon, lat, self.join_zoom)))
+        if rows is None or rows.size == 0:
+            return np.empty(0, dtype=np.int64)
+        # square box via N/E/S/W destinations (discovery.rs:95-100)
+        _, north = destination(lon, lat, 0.0, distance_m)
+        east, _ = destination(lon, lat, 90.0, distance_m)
+        _, south = destination(lon, lat, 180.0, distance_m)
+        west, _ = destination(lon, lat, 270.0, distance_m)
+        ax, ay, bx, by = self.ax[rows], self.ay[rows], self.bx[rows], self.by[rows]
+        lo_x, hi_x = np.minimum(ax, bx), np.maximum(ax, bx)
+        lo_y, hi_y = np.minimum(ay, by), np.maximum(ay, by)
+        hit = (hi_x >= west) & (lo_x <= east) & (hi_y >= south) & (lo_y <= north)
+        return np.unique(rows[hit])
+
+    def candidates_at(self, lon: float, lat: float, distance_m: float | None = None):
+        """Project the point onto every edge within the square box —
+        ``nearest_nodes_projected`` (``traits/scan.rs:22-44``): planar
+        line-locate fraction, interpolated position, haversine distance.
+
+        Returns (edge_rows, frac, pos_lon, pos_lat, dist_m); degenerate
+        edges (NaN fraction) are dropped like the reference's ``filter_map``.
+        """
+        d = self.search_radius_m if distance_m is None else distance_m
+        rows = self.edges_at_distance(lon, lat, d)
+        if rows.size == 0:
+            e = np.empty(0)
+            return rows, e, e, e, e
+        frac = segment_locate_fraction(
+            lon, lat, self.ax[rows], self.ay[rows], self.bx[rows], self.by[rows]
+        )
+        ok = ~np.isnan(frac)
+        rows, frac = rows[ok], frac[ok]
+        px, py = point_at_fraction(self.ax[rows], self.ay[rows], self.bx[rows], self.by[rows], frac)
+        dist = haversine_m(px, py, lon, lat)
+        return rows, frac, px, py, dist
+
+    def nearest_edge(self, lon: float, lat: float, distance_m: float | None = None):
+        """1-NN snap: the closest projected candidate (``Scan``/proximity
+        service semantics, ``routers_rpc/src/services/proximity.rs``).
+        Returns (edge_row, pos_lon, pos_lat, dist_m) or None."""
+        rows, frac, px, py, dist = self.candidates_at(lon, lat, distance_m)
+        if rows.size == 0:
+            return None
+        i = int(np.argmin(dist))  # ties → lowest (edge_id, dir) by sort order
+        return int(rows[i]), float(px[i]), float(py[i]), float(dist[i])
+
+    def emissions_for(self, dist_m: np.ndarray, emission_error_m: float) -> np.ndarray:
+        return emission_cost(dist_m, emission_error_m)
+
+
+class NetworkStore:
+    """Lazy cell-partition loader with two LRUs: raw per-cell Arrow tables,
+    and built :class:`CellNetwork` per cell-*set* (hot cell-sets — urban
+    hotspots — stay warm). The Ray-side ``ShardLoader`` + 9-cell
+    ``ShardWindow`` (``routers_shard/src/loader/mod.rs:169-194``,
+    ``loader/window.rs:90-108``)."""
+
+    def __init__(self, store_dir: str, max_cells: int = 64, max_networks: int = 16):
+        self.store_dir = store_dir
+        with open(os.path.join(store_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.partition_zoom = int(self.manifest["partition_zoom"])
+        self.join_zoom = int(self.manifest["join_zoom"])
+        self.padding_m = float(self.manifest["padding_m"])
+        self._cells: dict[int, pa.Table] = {}
+        self._networks: dict[tuple, CellNetwork] = {}
+        self.max_cells = max_cells
+        self.max_networks = max_networks
+        self._known = {int(c) for c in self.manifest["cells"]}
+
+    def _load_cell(self, cell: int) -> pa.Table | None:
+        if cell not in self._known:
+            return None
+        tbl = self._cells.get(cell)
+        if tbl is None:
+            path = os.path.join(self.store_dir, "edges", f"cell={cell}")
+            parts = [
+                pq.read_table(os.path.join(path, f))
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            ]
+            tbl = pa.concat_tables(parts)
+            if len(self._cells) >= self.max_cells:
+                self._cells.pop(next(iter(self._cells)))
+            self._cells[cell] = tbl
+        return tbl
+
+    def cells_for_bbox(self, lon_w, lat_s, lon_e, lat_n, buffer_m: float = 0.0) -> tuple:
+        dlon, dlat = cells.meters_to_deg((lat_s + lat_n) / 2.0, buffer_m)
+        cc = cells.cells_covering_bbox(
+            lon_w - dlon, lat_s - dlat, lon_e + dlon, lat_n + dlat, self.partition_zoom
+        )
+        return tuple(sorted(int(c) for c in cc.tolist()))
+
+    def network_for_cells(self, cell_set: tuple, search_radius_m: float = DEFAULT_SEARCH_DISTANCE_M) -> CellNetwork:
+        key = (cell_set, search_radius_m)
+        net = self._networks.get(key)
+        if net is None:
+            tables = [t for c in cell_set if (t := self._load_cell(c)) is not None]
+            if tables:
+                tbl = pa.concat_tables(tables)
+            else:
+                tbl = pa.table(
+                    {
+                        "edge_id": pa.array([], pa.int64()),
+                        "src": pa.array([], pa.int64()),
+                        "dst": pa.array([], pa.int64()),
+                        "weight": pa.array([], pa.uint32()),
+                        "dir": pa.array([], pa.uint8()),
+                        "accessible": pa.array([], pa.bool_()),
+                        "ax": pa.array([], pa.float64()),
+                        "ay": pa.array([], pa.float64()),
+                        "bx": pa.array([], pa.float64()),
+                        "by": pa.array([], pa.float64()),
+                    }
+                )
+            net = CellNetwork.from_edge_rows(tbl, self.join_zoom, search_radius_m)
+            if len(self._networks) >= self.max_networks:
+                self._networks.pop(next(iter(self._networks)))
+            self._networks[key] = net
+        return net
+
+    def network_for_bbox(
+        self, lon_w, lat_s, lon_e, lat_n, buffer_m: float = 0.0, search_radius_m: float = DEFAULT_SEARCH_DISTANCE_M
+    ) -> CellNetwork:
+        return self.network_for_cells(
+            self.cells_for_bbox(lon_w, lat_s, lon_e, lat_n, buffer_m), search_radius_m
+        )
