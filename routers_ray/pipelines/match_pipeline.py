@@ -1,0 +1,296 @@
+"""The flagship pipeline: interleaved docs → parsed trajectories → cell-keyed
+routing → matcher actor pool → matched rows (+ tiles, via
+:mod:`routers_ray.tiles`).
+
+Ray Data shape (SURVEY §3.1 mapping):
+
+1. ``read`` — Lance/Parquet docs, column-pruned;
+2. ``map_batches(parse_trajectories)`` — vectorized span parse (stateless);
+3. ``map_batches(anchor)`` — anchor cell (partition zoom) of the first
+   point + salt: the trajectory→actor routing key. Salting is explicit
+   skew-handling — hot-cell doc counts from a cheap pre-pass decide
+   ``n_salt`` per cell (SURVEY §4 skew);
+4. ``sort(route_key)`` — cell-coherent blocks so each matcher actor pages a
+   handful of network cell-sets (the shuffle that replaces NATS subject
+   routing, §3.3);
+5. ``map_batches(MatchDocs, concurrency=N)`` — stateful actor pool; each
+   actor holds a :class:`~routers_ray.network.NetworkStore` LRU of per-cell
+   CSR networks + candidate indexes and matches each doc in-process.
+
+Per-row span sequence passes through untouched (the north-rule invariant).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict
+
+import numpy as np
+import pyarrow as pa
+
+from ..cells import lonlat_to_cell
+from ..functions import doc_salt
+from ..matcher import MatchError, MatchOptions, match_trajectory
+from ..network import NetworkStore
+from ..spans import parse_trajectories
+
+HOP_TYPE = pa.list_(pa.struct([("lon", pa.float64()), ("lat", pa.float64())]))
+
+# module-level store cache: one NetworkStore per (process, path) so both
+# actor pools and stateless tasks reuse the page cache
+_STORES: dict[str, NetworkStore] = {}
+
+
+def get_store(store_path: str) -> NetworkStore:
+    store = _STORES.get(store_path)
+    if store is None:
+        store = NetworkStore(store_path)
+        _STORES[store_path] = store
+    return store
+
+
+def anchor_batch(batch: pa.Table, partition_zoom: int, salt_of_cell: dict | None) -> pa.Table:
+    """Anchor cell (first point) + salt + route_key columns."""
+    lons = batch["pts_lon"].combine_chunks() if isinstance(batch["pts_lon"], pa.ChunkedArray) else batch["pts_lon"]
+    lats = batch["pts_lat"].combine_chunks() if isinstance(batch["pts_lat"], pa.ChunkedArray) else batch["pts_lat"]
+    offs = lons.offsets.to_numpy(zero_copy_only=False).astype(np.int64)[:-1]
+    lon_v = np.asarray(lons.values, dtype=np.float64)
+    lat_v = np.asarray(lats.values, dtype=np.float64)
+    n = len(batch)
+    has = np.asarray(batch["n_pts"], dtype=np.int64) > 0
+    first_lon = np.where(has, lon_v[np.minimum(offs, max(lon_v.size - 1, 0))] if lon_v.size else 0.0, 0.0)
+    first_lat = np.where(has, lat_v[np.minimum(offs, max(lat_v.size - 1, 0))] if lat_v.size else 0.0, 0.0)
+    cell = np.where(has, lonlat_to_cell(first_lon, first_lat, partition_zoom).astype(np.int64), -1)
+
+    doc_ids = batch["doc_id"].to_pylist()
+    if salt_of_cell:
+        n_salt = np.asarray([salt_of_cell.get(int(c), 1) for c in cell], dtype=np.uint64)
+    else:
+        n_salt = np.ones(n, dtype=np.uint64)
+    salt = doc_salt(doc_ids, n_salt)
+    out = batch.append_column("anchor_cell", pa.array(cell, pa.int64()))
+    out = out.append_column("salt", pa.array(salt, pa.int32()))
+    route = (cell.astype(np.int64) << np.int64(16)) | salt.astype(np.int64)
+    return out.append_column("route_key", pa.array(route, pa.int64()))
+
+
+def compute_salts(ds, target_docs_per_salt: int = 2000) -> dict[int, int]:
+    """Skew pre-pass: docs per anchor cell → n_salt per cell.
+
+    A tiny ``groupby(cell).count()`` over the parsed docs; hot cells (the
+    urban hotspots) get ⌈count/target⌉ salts. The result broadcasts to the
+    anchor stage (driver-side dict — one row per populated cell)."""
+    counts = ds.groupby("anchor_cell").count().to_pandas()
+    return {
+        int(c): max(1, int(np.ceil(n / target_docs_per_salt)))
+        for c, n in zip(counts["anchor_cell"], counts["count()"])
+    }
+
+
+def _result_schema(spans_type) -> pa.Schema:
+    return pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("seq", pa.int32()),
+            ("status", pa.string()),
+            ("edge_id", pa.int64()),
+            ("dir", pa.uint8()),
+            ("src", pa.int64()),
+            ("dst", pa.int64()),
+            ("snap_lon", pa.float64()),
+            ("snap_lat", pa.float64()),
+            ("hop_path", HOP_TYPE),
+            ("cost", pa.uint32()),
+            ("cell", pa.uint64()),
+            ("error_layers", pa.list_(pa.int32())),
+            ("spans", spans_type),
+        ]
+    )
+
+
+class MatchDocs:
+    """Stateful matcher stage: ``map_batches(MatchDocs, concurrency=N,
+    num_cpus=1)``. ``__init__`` builds the store handle once per actor; each
+    ``__call__`` matches every doc in the batch and emits matched rows
+    (status="ok", one per point) and error rows (one per failed doc)."""
+
+    def __init__(
+        self,
+        store_path: str,
+        options: dict | None = None,
+        out_zoom: int = 15,
+        keep_spans: bool = True,
+    ):
+        self.store_path = store_path
+        self.opts = MatchOptions(**(options or {}))
+        self.out_zoom = out_zoom
+        self.keep_spans = keep_spans
+        self.store = get_store(store_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return match_batch(
+            batch, self.store, self.opts, out_zoom=self.out_zoom, keep_spans=self.keep_spans
+        )
+
+
+def match_batch(
+    batch: pa.Table,
+    store: NetworkStore,
+    opts: MatchOptions,
+    out_zoom: int = 15,
+    keep_spans: bool = True,
+) -> pa.Table:
+    """Match every doc in an Arrow batch (shared by the actor stage and the
+    checkpointed per-partition writer)."""
+    lons_l = batch["pts_lon"].combine_chunks() if isinstance(batch["pts_lon"], pa.ChunkedArray) else batch["pts_lon"]
+    lats_l = batch["pts_lat"].combine_chunks() if isinstance(batch["pts_lat"], pa.ChunkedArray) else batch["pts_lat"]
+    offs = lons_l.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lon_v = np.asarray(lons_l.values, dtype=np.float64)
+    lat_v = np.asarray(lats_l.values, dtype=np.float64)
+    doc_ids = batch["doc_id"].to_pylist()
+    spans_col = batch["spans"] if keep_spans and "spans" in batch.column_names else None
+
+    # output accumulators
+    o_doc, o_seq, o_status = [], [], []
+    o_eid, o_dir, o_src, o_dst = [], [], [], []
+    o_slon, o_slat, o_cost, o_cell = [], [], [], []
+    o_hop: list = []
+    o_err: list = []
+    o_span_row: list = []
+
+    buffer_m = opts.threshold_cm / 100.0 + opts.search_distance_m
+
+    for i in range(len(batch)):
+        lo, hi = offs[i], offs[i + 1]
+        ll, la = lon_v[lo:hi], lat_v[lo:hi]
+        if ll.size == 0:
+            o_doc.append(doc_ids[i]), o_seq.append(-1), o_status.append("unanchored")
+            o_eid.append(None), o_dir.append(None), o_src.append(None), o_dst.append(None)
+            o_slon.append(None), o_slat.append(None), o_cost.append(None), o_cell.append(None)
+            o_hop.append(None), o_err.append([]), o_span_row.append(i)
+            continue
+        net = store.network_for_bbox(
+            float(ll.min()), float(la.min()), float(ll.max()), float(la.max()),
+            buffer_m=buffer_m, search_radius_m=opts.search_distance_m,
+        )
+        try:
+            res = match_trajectory(net, ll, la, opts)
+        except MatchError as e:
+            o_doc.append(doc_ids[i]), o_seq.append(-1), o_status.append(e.kind)
+            o_eid.append(None), o_dir.append(None), o_src.append(None), o_dst.append(None)
+            o_slon.append(None), o_slat.append(None), o_cost.append(None), o_cell.append(None)
+            o_hop.append(None), o_err.append([int(x) for x in e.layers]), o_span_row.append(i)
+            continue
+        cells_out = lonlat_to_cell(
+            np.asarray([m.snap_lon for m in res.layers]),
+            np.asarray([m.snap_lat for m in res.layers]),
+            out_zoom,
+        )
+        for k, m in enumerate(res.layers):
+            o_doc.append(doc_ids[i]), o_seq.append(m.seq), o_status.append("ok")
+            o_eid.append(m.edge_id), o_dir.append(m.direction), o_src.append(m.src), o_dst.append(m.dst)
+            o_slon.append(m.snap_lon), o_slat.append(m.snap_lat)
+            o_cost.append(res.cost), o_cell.append(int(cells_out[k]))
+            o_hop.append(
+                [{"lon": float(x), "lat": float(y)} for x, y in zip(m.hop_lons, m.hop_lats)]
+            )
+            o_err.append(None), o_span_row.append(i)
+
+    spans_type = spans_col.type if spans_col is not None else pa.list_(
+        pa.struct([("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())])
+    )
+    schema = _result_schema(spans_type)
+    if spans_col is not None:
+        spans_arr = (
+            spans_col.combine_chunks() if isinstance(spans_col, pa.ChunkedArray) else spans_col
+        ).take(pa.array(o_span_row, pa.int64()))
+    else:
+        spans_arr = pa.nulls(len(o_doc), spans_type)
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(o_doc, pa.string()),
+            pa.array(o_seq, pa.int32()),
+            pa.array(o_status, pa.string()),
+            pa.array(o_eid, pa.int64()),
+            pa.array(o_dir, pa.uint8()),
+            pa.array(o_src, pa.int64()),
+            pa.array(o_dst, pa.int64()),
+            pa.array(o_slon, pa.float64()),
+            pa.array(o_slat, pa.float64()),
+            pa.array(o_hop, HOP_TYPE),
+            pa.array(o_cost, pa.uint32()),
+            pa.array(o_cell, pa.uint64()),
+            pa.array(o_err, pa.list_(pa.int32())),
+            spans_arr,
+        ],
+        schema=schema,
+    )
+
+
+def match_documents(
+    docs_ds,
+    store_path: str,
+    options: MatchOptions | None = None,
+    concurrency: int | tuple | None = None,
+    batch_size: int = 256,
+    out_zoom: int = 15,
+    salt: bool = True,
+    keep_spans: bool = True,
+    target_docs_per_salt: int = 2000,
+):
+    """docs Dataset → matched Dataset (status column distinguishes ok/error
+    rows). Lazy end to end except the tiny salt pre-pass."""
+    store = get_store(store_path)
+    opts = options or MatchOptions()
+    parsed = docs_ds.map_batches(parse_trajectories, batch_format="pyarrow")
+    zoom = store.partition_zoom
+
+    if salt:
+        anchored_for_count = parsed.map_batches(
+            lambda b: anchor_batch(b, zoom, None), batch_format="pyarrow"
+        )
+        salt_of_cell = compute_salts(
+            anchored_for_count.select_columns(["doc_id", "anchor_cell"]),
+            target_docs_per_salt,
+        )
+    else:
+        salt_of_cell = None
+
+    anchored = parsed.map_batches(
+        lambda b: anchor_batch(b, zoom, salt_of_cell), batch_format="pyarrow"
+    )
+    routed = anchored.sort("route_key")
+
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    matched = routed.map_batches(
+        MatchDocs,
+        fn_constructor_kwargs={
+            "store_path": store_path,
+            "options": asdict(opts),
+            "out_zoom": out_zoom,
+            "keep_spans": keep_spans,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+        **kwargs,
+    )
+    return matched
+
+
+def matched_ok(matched_ds):
+    import pyarrow.compute as pc
+
+    return matched_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["status"], "ok")), batch_format="pyarrow"
+    )
+
+
+def matched_errors(matched_ds):
+    import pyarrow.compute as pc
+
+    return matched_ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["status"], "ok")), batch_format="pyarrow"
+    )

@@ -1,0 +1,131 @@
+"""Tile materialization: slippy projection, zoom roll-up, Hilbert-ordered
+tile aggregation — the streaming sort-shuffle stage of the north rule.
+
+Reference semantics: ``SlippyTile::project`` maps a point to a tile plus an
+in-tile 0..4096 offset (``routers_geo/src/project.rs:38-74``,
+``MVT_EXTENT=4096``); tiles are keyed by Hilbert index
+(``routers_tiles/src/primitives/fragment.rs:69-71``); zoom-leveled
+compaction walks tiles up the pyramid (``fragment.rs:35-47``); geometry is
+zig-zag encoded (``primitives/layer.rs:78-90``).
+
+Ray shape: per-batch partial aggregation (one row per touched tile per
+batch) → small ``groupby(z, x, y)`` merge → ``sort(z, hilbert)`` — the
+pre-aggregate-then-shuffle pattern, so the all-to-all moves tile partials,
+not points.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .cells import hilbert_xy2d, lonlat_to_tile
+from .functions import fnv1a_array, splitmix64
+
+MVT_EXTENT = 4096  # routers_geo/src/lib.rs MVT_EXTENT
+
+
+def project_to_tile(lon, lat, z: int):
+    """(tile_x, tile_y, px, py) with px/py the in-tile 0..4096 offsets."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -85.05112878, 85.05112878)
+    n = np.float64(1 << z)
+    fx = (lon + 180.0) / 360.0 * n
+    lat_r = np.radians(lat)
+    fy = (1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n
+    x = np.clip(np.floor(fx), 0, n - 1)
+    y = np.clip(np.floor(fy), 0, n - 1)
+    px = np.clip(((fx - x) * MVT_EXTENT).astype(np.int32), 0, MVT_EXTENT - 1)
+    py = np.clip(((fy - y) * MVT_EXTENT).astype(np.int32), 0, MVT_EXTENT - 1)
+    return x.astype(np.uint32), y.astype(np.uint32), px, py
+
+
+def _point_digest(doc_ids, seqs) -> np.ndarray:
+    """Order-independent per-point digest: splitmix64(fnv1a(doc_id) ^ seq).
+
+    Summed (mod 2^64) per tile it forms the tile's content digest
+    (``doc_ids_hash``) — byte-stable across run order and partitioning.
+    """
+    h = fnv1a_array(doc_ids)
+    with np.errstate(over="ignore"):
+        return splitmix64(h ^ np.asarray(seqs, dtype=np.uint64))
+
+
+def tile_partials(batch: pa.Table, zooms: list[int], lon_col="snap_lon", lat_col="snap_lat") -> pa.Table:
+    """Per-batch partial tile aggregation: one output row per (z, x, y)
+    touched by the batch, carrying count + digest-sum partials."""
+    lon = np.asarray(batch[lon_col], dtype=np.float64)
+    lat = np.asarray(batch[lat_col], dtype=np.float64)
+    doc_ids = batch["doc_id"].to_pylist()
+    seqs = np.asarray(batch["seq"], dtype=np.int64)
+    digest = _point_digest(doc_ids, seqs)
+
+    zs, xs, ys, ns, ds_ = [], [], [], [], []
+    for z in zooms:
+        x, y = lonlat_to_tile(lon, lat, z)
+        key = (x.astype(np.uint64) << np.uint64(32)) | y.astype(np.uint64)
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        bounds = np.flatnonzero(np.concatenate(([True], key_s[1:] != key_s[:-1])))
+        counts = np.diff(np.append(bounds, key_s.size))
+        with np.errstate(over="ignore"):
+            dsum = np.add.reduceat(digest[order], bounds) if key_s.size else np.empty(0, np.uint64)
+        zs.append(np.full(bounds.size, z, dtype=np.uint8))
+        xs.append((key_s[bounds] >> np.uint64(32)).astype(np.uint32))
+        ys.append((key_s[bounds] & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        ns.append(counts.astype(np.int64))
+        ds_.append(dsum)
+
+    return pa.table(
+        {
+            "z": pa.array(np.concatenate(zs), pa.uint8()),
+            "x": pa.array(np.concatenate(xs), pa.uint32()),
+            "y": pa.array(np.concatenate(ys), pa.uint32()),
+            "n_points": pa.array(np.concatenate(ns), pa.int64()),
+            "doc_ids_hash": pa.array(np.concatenate(ds_), pa.uint64()),
+        }
+    )
+
+
+def merge_tile_partials(group: pa.Table) -> pa.Table:
+    """Combine partial rows of one tile (groupby(z,x,y).map_groups body)."""
+    n = int(np.asarray(group["n_points"], dtype=np.int64).sum())
+    with np.errstate(over="ignore"):
+        d = np.asarray(group["doc_ids_hash"]).astype(np.uint64).sum(dtype=np.uint64)
+    return pa.table(
+        {
+            "z": group["z"][:1],
+            "x": group["x"][:1],
+            "y": group["y"][:1],
+            "n_points": pa.array([n], pa.int64()),
+            "doc_ids_hash": pa.array([d], pa.uint64()),
+        }
+    )
+
+
+def add_hilbert(batch: pa.Table) -> pa.Table:
+    """Append the Hilbert sort key per tile row (fragment.rs ``to_hilbert``)."""
+    z = np.asarray(batch["z"], dtype=np.int64)
+    x = np.asarray(batch["x"], dtype=np.uint64)
+    y = np.asarray(batch["y"], dtype=np.uint64)
+    h = np.empty(z.size, dtype=np.uint64)
+    for zz in np.unique(z):
+        m = z == zz
+        h[m] = hilbert_xy2d(x[m], y[m], int(zz))
+    return batch.append_column("hilbert", pa.array(h, pa.uint64()))
+
+
+def materialize_tiles(matched_ds, zooms: list[int]):
+    """Dataset pipeline: matched rows → tile table sorted by (z, hilbert).
+
+    ``matched_ds`` must carry doc_id/seq/snap_lon/snap_lat columns (ok rows
+    only). The partial→merge split keeps the shuffle small: the groupby sees
+    one row per (batch, tile), not one per point.
+    """
+    partials = matched_ds.map_batches(
+        lambda b: tile_partials(b, zooms), batch_format="pyarrow"
+    )
+    merged = partials.groupby(["z", "x", "y"]).map_groups(
+        merge_tile_partials, batch_format="pyarrow"
+    )
+    return merged.map_batches(add_hilbert, batch_format="pyarrow").sort(["z", "hilbert"])

@@ -1,0 +1,135 @@
+"""End-to-end: synth corpus → network store build (Ray job) → match
+pipeline (Ray actor pool) → matched rows == single-process golden; span
+sequence preserved; tiles aggregate correctly."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from routers_ray.matcher import MatchOptions
+from routers_ray.network import build_network_store, synth_network
+from routers_ray.pipelines.match_pipeline import (
+    anchor_batch,
+    match_batch,
+    match_documents,
+    matched_errors,
+    matched_ok,
+    get_store,
+)
+from routers_ray.spans import parse_trajectories, span_signature
+from routers_ray.synth import synth_corpus, write_corpus
+from routers_ray.tiles import materialize_tiles
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory, ray_session):
+    root = tmp_path_factory.mktemp("world")
+    nodes, edges = synth_network(seed=42, n_cities=2, grid=(8, 8))
+    store_dir = str(root / "netstore")
+    build_network_store(nodes, edges, store_dir, use_ray=True)
+    docs = synth_corpus(n_docs=40, seed=42, network=(nodes, edges))
+    paths = write_corpus(docs, str(root / "corpus"))
+    return {"nodes": nodes, "edges": edges, "store": store_dir, "docs": docs, "paths": paths}
+
+
+@pytest.fixture(scope="module")
+def golden(world) -> pa.Table:
+    """Single-process reference run (no Ray) — the golden oracle."""
+    store = get_store(world["store"])
+    parsed = parse_trajectories(world["docs"])
+    parsed = anchor_batch(parsed, store.partition_zoom, None)
+    return match_batch(parsed, store, MatchOptions())
+
+
+def test_store_manifest(world):
+    import json, os
+
+    with open(os.path.join(world["store"], "manifest.json")) as f:
+        man = json.load(f)
+    assert man["n_cells"] >= 1
+    assert all(v > 0 for v in man["cells"].values())
+
+
+def test_golden_has_matches(world, golden):
+    ok = golden.filter(pa.compute.equal(golden["status"], "ok"))
+    assert len(ok) > 100
+    # cost present and bounded on every ok row
+    assert pa.compute.min(ok["cost"]).as_py() >= 0
+
+
+def test_ray_pipeline_equals_golden(world, golden):
+    import ray.data as rd
+
+    ds = rd.read_parquet(world["paths"]["parquet"])
+    matched = match_documents(ds, world["store"], concurrency=2, batch_size=16)
+    batches = [b for b in matched.iter_batches(batch_format="pyarrow", batch_size=4096)]
+    result = pa.concat_tables(batches)
+
+    cols = ["doc_id", "seq", "status", "edge_id", "dir", "src", "dst", "snap_lon", "snap_lat", "cost", "cell"]
+
+    def canon(t):
+        t = t.select(cols)
+        import pandas as pd
+
+        df = t.to_pandas().sort_values(["doc_id", "seq", "status"]).reset_index(drop=True)
+        for c in ("snap_lon", "snap_lat"):
+            df[c] = df[c].round(6)  # 1e-6 snapshot rounding (src/test.rs:27-33)
+        return df
+
+    g, r = canon(golden), canon(result)
+    assert len(g) == len(r)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(g, r)
+
+
+def test_span_sequence_invariant(world, golden):
+    """North-rule invariant: output rows carry the input span sequence
+    byte-for-byte (per doc)."""
+    in_sig = {d: s for d, s in zip(world["docs"]["doc_id"].to_pylist(), span_signature(world["docs"]["spans"]))}
+    out_docs = golden["doc_id"].to_pylist()
+    out_sig = span_signature(golden["spans"])
+    assert len(out_docs) > 0
+    for d, s in zip(out_docs, out_sig):
+        assert s == in_sig[d], f"span sequence mutated for {d}"
+
+
+def test_every_doc_accounted(world, golden):
+    in_ids = set(world["docs"]["doc_id"].to_pylist())
+    out_ids = set(golden["doc_id"].to_pylist())
+    assert out_ids == in_ids
+
+
+def test_errors_have_reasons(world, golden):
+    errs = golden.filter(pa.compute.not_equal(golden["status"], "ok"))
+    for kind in errs["status"].to_pylist():
+        assert kind in {"unanchored", "disconnected", "internal"}
+
+
+def test_tiles_aggregate(world, golden, ray_session):
+    import ray.data as rd
+
+    ok = golden.filter(pa.compute.equal(golden["status"], "ok"))
+    ds = rd.from_arrow(ok.select(["doc_id", "seq", "snap_lon", "snap_lat"]))
+    tiles = materialize_tiles(ds, zooms=[12, 15]).to_pandas()
+    assert tiles["n_points"].sum() == 2 * len(ok)  # each point lands in 1 tile per zoom
+    assert set(tiles["z"].unique()) == {12, 15}
+    # hilbert ordering within zoom
+    for z in (12, 15):
+        h = tiles[tiles["z"] == z]["hilbert"].to_numpy()
+        assert (np.diff(h.astype(np.int64)) >= 0).all()
+    # roll-up: zoom-12 totals equal zoom-15 totals
+    assert tiles[tiles.z == 12]["n_points"].sum() == tiles[tiles.z == 15]["n_points"].sum()
+
+
+def test_salting_splits_hot_cell(world, ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(world["paths"]["parquet"])
+    matched = match_documents(
+        ds, world["store"], concurrency=2, batch_size=16, target_docs_per_salt=5
+    )
+    ok = matched_ok(matched)
+    assert ok.count() > 0
+    err = matched_errors(matched).count()
+    assert err < matched.count()
