@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in routers_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +17,36 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline smoke: read the sf0.001 documents table, derive a
+    deterministic interleaved-span corpus anchored on those doc ids, and run
+    the Viterbi map-match pipeline end to end (parse → anchor/salt → route
+    → matcher actor pool). Returns the matched Dataset."""
+    import pyarrow.parquet as papq
+    import ray.data as rd
+
+    from routers_ray.pipelines.match_pipeline import match_documents
+    from routers_ray.pipelines.queries import _match_world
+
+    # touch the driver-provided table (the corpus scale is keyed to it)
+    docs = papq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id"])
+    n_docs = min(len(docs), 120)
+
+    world = _match_world(n_docs)
+    ds = rd.read_parquet(world["paths"]["parquet"])
+    return match_documents(ds, world["store"], concurrency=2, batch_size=64, keep_spans=False)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2 plus
+    the training-data suite (dedup / similarity / text / multimodal)."""
+    from routers_ray.pipelines.queries import registry
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query (same column
+    names/types; integer-exact aggregates; half-up float rounding)."""
+    from routers_ray.pipelines.queries import registry
+
+    return {name: sql for name, (_fn, sql) in registry().items() if sql is not None}

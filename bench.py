@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Benchmark entry: headline map-match pipeline + representative queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "matched_docs_per_sec": ...}
+
+- input tables: ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1);
+- the matching corpus is synthesized deterministically (seed 42) under
+  /tmp at a size scaled to the sf tables, matching BASELINE.json's
+  input_hint shape — no external data;
+- ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)``;
+- ``--scaling`` runs the headline job at 8 and 32 CPUs in fresh processes
+  and reports throughput at both plus the scaling efficiency, appending the
+  result to BENCH/BASELINE.md (the N vs 4N cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_SEED = 42
+
+
+def _sf_of(sf_dir: str) -> float:
+    for tag, sf in (("sf0.001", 0.001), ("sf0.01", 0.01), ("sf0.1", 0.1), ("sf1", 1.0)):
+        if tag in sf_dir:
+            return sf
+    return 0.1
+
+
+def _bench_world(n_docs: int):
+    """Deterministic bench world cached under /tmp (shared across the two
+    scaling runs so both parallelism levels read identical input)."""
+    import routers_ray.synth as synth
+    from routers_ray.network import build_network_store, synth_network
+
+    root = f"/tmp/routers_ray_bench_{BENCH_SEED}_{n_docs}"
+    marker = os.path.join(root, "DONE")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        nodes, edges = synth_network(seed=BENCH_SEED, n_cities=3, grid=(14, 14))
+        build_network_store(nodes, edges, os.path.join(root, "netstore"), use_ray=False)
+        docs = synth.synth_corpus(n_docs=n_docs, seed=BENCH_SEED, network=(nodes, edges))
+        synth.write_corpus(docs, os.path.join(root, "corpus"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    sf = _sf_of(SF_DIR)
+    n_docs = max(200, int(12000 * sf))  # sf0.1 → 1200 docs
+    world = _bench_world(n_docs)
+
+    from routers_ray.pipelines.match_pipeline import match_documents, matched_ok
+    from routers_ray.tiles import materialize_tiles
+
+    timings: dict[str, float] = {}
+
+    # warm the page cache (measure compute + shuffle, not first disk read)
+    rd.read_parquet(os.path.join(world, "corpus", "documents.parquet")).count()
+
+    # headline: match + tile-join end to end
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(os.path.join(world, "corpus", "documents.parquet"))
+    matched = match_documents(
+        ds,
+        os.path.join(world, "netstore"),
+        concurrency=NUM_CPUS,
+        batch_size=32,
+        keep_spans=False,
+    )
+    ok = matched_ok(matched)
+    tiles = materialize_tiles(ok, zooms=[10, 13, 15])
+    n_tiles = tiles.count()
+    t_headline = time.perf_counter() - t0
+    timings["match_tiles"] = round(t_headline, 3)
+
+    # matched docs/sec (docs fully matched, the BASELINE.json metric)
+    n_ok_docs = ok.groupby("doc_id").count().count()
+
+    # representative query timings over the sf tables
+    from routers_ray.pipelines.queries import registry
+
+    reg = registry()
+    for name in ("cell_assign", "haversine_track", "nn_station", "agg_pricing",
+                 "dedup_exact", "token_stats", "ann_topk"):
+        fn, _ = reg[name]
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "match_tiles_pipeline_sec",
+        "value": timings["match_tiles"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "matched_docs": int(n_ok_docs),
+        "n_tiles": int(n_tiles),
+        "matched_docs_per_sec": round(n_ok_docs / t_headline, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job at 8 and 32 CPUs in fresh processes (the N vs 4N criterion)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo = lo["matched_docs_per_sec"]
+    tput_hi = hi["matched_docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    report = {
+        "docs_per_sec_8cpu": tput_lo,
+        "docs_per_sec_32cpu": tput_hi,
+        "sec_8cpu": lo["value"],
+        "sec_32cpu": hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+        "n_docs": lo["n_docs"],
+    }
+    _write_baseline_md(report)
+    return report
+
+
+def _write_baseline_md(report: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    path = os.path.join("BENCH", "BASELINE.md")
+    lines = [
+        "# BENCH/BASELINE.md — measured results",
+        "",
+        f"Generated by `bench.py --scaling` (sf={report['sf']}, corpus {report['n_docs']} docs,",
+        "same deterministic input at both parallelism levels, fresh `ray.init` per run).",
+        "",
+        "| metric | value | config |",
+        "|---|---|---|",
+        f"| matched docs/sec @ N | {report['docs_per_sec_8cpu']} | num_cpus=8, fresh process |",
+        f"| matched docs/sec @ 4N | {report['docs_per_sec_32cpu']} | num_cpus=32, fresh process |",
+        f"| headline pipeline sec @ N | {report['sec_8cpu']} | match + tile-join |",
+        f"| headline pipeline sec @ 4N | {report['sec_32cpu']} | match + tile-join |",
+        f"| scaling efficiency (target ≥0.8) | {report['scaling_efficiency']} | throughput(4N) / (4 × throughput(N)) |",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

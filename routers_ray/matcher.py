@@ -21,12 +21,20 @@ Semantics reproduced (file:line in the reference):
   gap (``weigh/mod.rs:160-163``);
 - Viterbi solve with lowest-node tie-breaks (``solver/viterbi.rs``);
 - collapse: chosen candidate per layer, hop geometry re-derived from the
-  warm predicate cache, consecutive-duplicate point dedup
+  warm predicate/path caches, consecutive-duplicate point dedup
   (``candidate/route.rs:46-139``, ``collapse.rs:71-116``).
+
+Physically the weigher is organized for batch throughput: the regular
+per-pair quantities (straightline, virtual tails, endpoint bearings,
+class continuity) are computed as whole-boundary NumPy arrays; the routed
+path per (root, leaf) node pair is memoized across boundaries (trajectories
+revisit the same hops); only the ragged angular-complexity fold runs as a
+tight scalar loop.
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -35,10 +43,9 @@ from .costing import (
     DEFAULT_EMISSION_ERROR_M,
     DEFAULT_SEARCH_DISTANCE_M,
     emission_cost,
-    transition_cost,
 )
 from .csr import DEFAULT_THRESHOLD_CM, bounded_dijkstra, parent_path
-from .geo import angular_complexity, bearing_deg, haversine_m, path_length_m
+from .geo import bearing_deg, haversine_m
 from .network import CellNetwork
 from .trellis import (
     MAX_WEIGHT,
@@ -50,6 +57,7 @@ from .trellis import (
 )
 
 DEFAULT_FANOUT = 16  # weigh/selective.rs:20
+_COS_K = math.pi / 180.0 * 0.8  # COST_DAMPING compression (entity.rs:271-276)
 
 
 @dataclass
@@ -134,132 +142,224 @@ def _predicates(net: CellNetwork, root_idx: int, threshold_cm: float):
     return hit
 
 
-def _reach(net, layers, opts, li, si, lj, ti):
-    """How target candidate (lj, ti) is reached from source (li, si):
-    ``('direct', None)``, ``('routed', node_idx_path)`` or ``None``.
+@dataclass
+class _PathInfo:
+    """Memoized routed hop between a (root, leaf) node-index pair: the
+    parent-pointer walk plus precomputed interior geometry."""
 
-    Port of ``Expansion::reach`` (``weigh/expansion.rs:60-98``) +
-    ``Candidate::directly_reachable`` (``candidate/entry.rs:92-106``).
-    """
-    s_row = int(layers[li].edge_rows[si])
-    t_row = int(layers[lj].edge_rows[ti])
-    same_id = net.edge_id[s_row] == net.edge_id[t_row]
-    if same_id:
-        same_dir = (net.src[s_row] == net.src[t_row]) and (net.dst[s_row] == net.dst[t_row])
-        if same_dir and layers[li].frac[si] <= layers[lj].frac[ti]:
-            return ("direct", None)
-    # routed: Dijkstra rooted at source edge target → target edge source
-    root = net.csr.node_index(int(net.dst[s_row]))
-    leaf = net.csr.node_index(int(net.src[t_row]))
-    if root < 0 or leaf < 0:
-        return None
-    parents, _ = _predicates(net, int(root), opts.threshold_cm)
-    path = parent_path(parents, int(root), int(leaf))
-    if path is None:
-        return None
-    return ("routed", path)
+    nodes: np.ndarray  # node idx path root..leaf inclusive
+    lons: np.ndarray
+    lats: np.ndarray
+    length_m: float  # Σ pairwise haversine over the path nodes
+    headings: list  # interior pair headings, <1 m pairs dropped (entity.rs:155-167)
 
 
-def _transition_cost(net, layers, opts, li, si, lj, ti, reach) -> int:
-    """TransitionContext costing (``costing/default.rs:137-173``,
-    ``costing/transition.rs:200-238``)."""
-    kind, path = reach
-    s_row = int(layers[li].edge_rows[si])
-    t_row = int(layers[lj].edge_rows[ti])
-    s_lon, s_lat = float(layers[li].pos_lon[si]), float(layers[li].pos_lat[si])
-    t_lon, t_lat = float(layers[lj].pos_lon[ti]), float(layers[lj].pos_lat[ti])
+class _TrajectoryContext:
+    """Per-trajectory weigher state: candidate layers + the (root, leaf)
+    path cache shared by weighing and collapse-time hop re-derivation."""
 
-    straight = float(haversine_m(s_lon, s_lat, t_lon, t_lat))
+    def __init__(self, net: CellNetwork, layers: list[Layer], opts: MatchOptions):
+        self.net = net
+        self.layers = layers
+        self.opts = opts
+        self.paths: dict[tuple[int, int], _PathInfo | None] = {}
 
-    if kind == "direct":
-        # ResolutionMethod::DistanceOnly: offset = straightline, empty path
-        path_lons = np.empty(0)
-        path_lats = np.empty(0)
-        route_len = straight
-    else:
-        path_lons = net.csr.node_lon[path]
-        path_lats = net.csr.node_lat[path]
-        # Standard: virtual tails — source position→edge target + edge
-        # source→target position (transition.rs:214-223, entry.rs:124-139)
-        d_src = net.csr.node_index(int(net.dst[s_row]))
-        d_tgt = net.csr.node_index(int(net.src[t_row]))
-        tail_s = float(
-            haversine_m(s_lon, s_lat, net.csr.node_lon[d_src], net.csr.node_lat[d_src])
+    def path_info(self, root: int, leaf: int) -> _PathInfo | None:
+        key = (root, leaf)
+        if key in self.paths:
+            return self.paths[key]
+        parents, _ = _predicates(self.net, root, self.opts.threshold_cm)
+        p = parent_path(parents, root, leaf)
+        if p is None:
+            info = None
+        else:
+            nodes = np.asarray(p, dtype=np.int64)
+            lons = self.net.csr.node_lon[nodes]
+            lats = self.net.csr.node_lat[nodes]
+            if nodes.size > 1:
+                d = haversine_m(lons[:-1], lats[:-1], lons[1:], lats[1:])
+                length = float(d.sum())
+                hb = bearing_deg(lons[:-1], lats[:-1], lons[1:], lats[1:])
+                headings = hb[d >= 1.0].tolist()
+            else:
+                length = 0.0
+                headings = []
+            info = _PathInfo(nodes, lons, lats, length, headings)
+        self.paths[key] = info
+        return info
+
+    # -- boundary weighing ------------------------------------------------
+
+    def _pair_indices(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        """(fi, ti) pair index arrays — full grid (AllCompute) or the k
+        nearest targets per source (Selective, ``selective.rs:69-88``)."""
+        F, T = self.layers[b], self.layers[b + 1]
+        nF, nT = F.edge_rows.size, T.edge_rows.size
+        k = self.opts.fanout
+        if k is None or nT <= k:
+            return np.repeat(np.arange(nF), nT), np.tile(np.arange(nT), nF)
+        fis, tis = [], []
+        for si in range(nF):
+            d = haversine_m(F.pos_lon[si], F.pos_lat[si], T.pos_lon, T.pos_lat)
+            sel = np.sort(np.argpartition(d, k)[:k])
+            fis.append(np.full(sel.size, si))
+            tis.append(sel)
+        return np.concatenate(fis), np.concatenate(tis)
+
+    def weigh_boundary(self, b: int) -> np.ndarray:
+        net = self.net
+        F, T = self.layers[b], self.layers[b + 1]
+        fi, ti = self._pair_indices(b)
+        s_row = F.edge_rows[fi]
+        t_row = T.edge_rows[ti]
+        s_lon, s_lat = F.pos_lon[fi], F.pos_lat[fi]
+        t_lon, t_lat = T.pos_lon[ti], T.pos_lat[ti]
+
+        straight = haversine_m(s_lon, s_lat, t_lon, t_lat)
+        direct = (s_row == t_row) & (F.frac[fi] <= T.frac[ti])
+
+        root = net.dst_idx[s_row]
+        leaf = net.src_idx[t_row]
+        root_lon, root_lat = net.csr.node_lon[root], net.csr.node_lat[root]
+        leaf_lon, leaf_lat = net.csr.node_lon[leaf], net.csr.node_lat[leaf]
+        tail_s = haversine_m(s_lon, s_lat, root_lon, root_lat)
+        tail_t = haversine_m(leaf_lon, leaf_lat, t_lon, t_lat)
+        b_sp = bearing_deg(s_lon, s_lat, root_lon, root_lat)  # s_pos → path[0]
+        b_pt = bearing_deg(leaf_lon, leaf_lat, t_lon, t_lat)  # path[-1] → t_pos
+        b_st = bearing_deg(s_lon, s_lat, t_lon, t_lat)  # direct mid heading
+
+        h_s = net.heading[s_row]
+        h_t = net.heading[t_row]
+        cont = net.weight[s_row].astype(np.float64) / net.weight[t_row].astype(np.float64)
+
+        # resolve paths (memoized across boundaries)
+        n_pairs = fi.size
+        infos: list[_PathInfo | None] = [None] * n_pairs
+        direct_l = direct.tolist()
+        for p in range(n_pairs):
+            if not direct_l[p]:
+                infos[p] = self.path_info(int(root[p]), int(leaf[p]))
+
+        # scalar fold for the ragged angular-complexity term
+        hs_l, ht_l = h_s.tolist(), h_t.tolist()
+        bsp_l, bpt_l, bst_l = b_sp.tolist(), b_pt.tolist(), b_st.tolist()
+        ts_l, tt_l, st_l = tail_s.tolist(), tail_t.tolist(), straight.tolist()
+        turn = np.ones(n_pairs, dtype=np.float64)
+        reachable = np.zeros(n_pairs, dtype=bool)
+        for p in range(n_pairs):
+            headings = []
+            if direct_l[p]:
+                if not math.isnan(hs_l[p]):
+                    headings.append(hs_l[p])
+                if st_l[p] >= 1.0:
+                    headings.append(bst_l[p])
+                if not math.isnan(ht_l[p]):
+                    headings.append(ht_l[p])
+            else:
+                info = infos[p]
+                if info is None:
+                    continue
+                if not math.isnan(hs_l[p]):
+                    headings.append(hs_l[p])
+                if ts_l[p] >= 1.0:
+                    headings.append(bsp_l[p])
+                headings.extend(info.headings)
+                if tt_l[p] >= 1.0:
+                    headings.append(bpt_l[p])
+                if not math.isnan(ht_l[p]):
+                    headings.append(ht_l[p])
+            reachable[p] = True
+            turn[p] = _complexity(headings)
+
+        # route length + deviance (transition.rs:200-238)
+        i_len = np.asarray([inf.length_m if inf is not None else 0.0 for inf in infos])
+        route_len = np.where(direct, straight, i_len + tail_s + tail_t)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dev = np.where(route_len > 0.0, straight / route_len, 1.0)
+
+        # combined score → u32 cost (costing/default.rs:137-173, util.rs:29-39)
+        score = np.sqrt(
+            np.clip(dev, 1e-6, 1.0) * np.clip(turn, 1e-6, 1.0) * np.clip(cont, 1e-6, 1.0)
         )
-        tail_t = float(
-            haversine_m(net.csr.node_lon[d_tgt], net.csr.node_lat[d_tgt], t_lon, t_lat)
-        )
-        route_len = path_length_m(path_lons, path_lats) + tail_s + tail_t
+        cost = np.minimum((100.0 / np.clip(score, 1e-6, 1.0)).astype(np.int64), MAX_WEIGHT)
 
-    dev = 1.0 if route_len <= 0.0 else straight / route_len
+        mat = np.full((F.edge_rows.size, T.edge_rows.size), int(NO_EDGE), dtype=np.int64)
+        mat[fi[reachable], ti[reachable]] = cost[reachable]
+        return mat
 
-    # edge headings; None when degenerate (<1 m) (entry.rs:109-122)
-    def _heading(row):
-        a = haversine_m(net.ax[row], net.ay[row], net.bx[row], net.by[row])
-        if a < 1.0:
-            return None
-        return float(bearing_deg(net.ax[row], net.ay[row], net.bx[row], net.by[row]))
+    def hop_geometry(self, li: int, si: int, lj: int, ti: int):
+        """Interpolated geometry of one hop: source position, path nodes,
+        target position — consecutive duplicates removed
+        (``candidate/route.rs:46-139``)."""
+        net = self.net
+        F, T = self.layers[li], self.layers[lj]
+        s_row, t_row = int(F.edge_rows[si]), int(T.edge_rows[ti])
+        s_lon, s_lat = float(F.pos_lon[si]), float(F.pos_lat[si])
+        t_lon, t_lat = float(T.pos_lon[ti]), float(T.pos_lat[ti])
+        direct = s_row == t_row and F.frac[si] <= T.frac[ti]
+        if direct:
+            lons = np.array([s_lon, t_lon])
+            lats = np.array([s_lat, t_lat])
+        else:
+            info = self.path_info(int(net.dst_idx[s_row]), int(net.src_idx[t_row]))
+            if info is None:
+                lons = np.array([s_lon, t_lon])
+                lats = np.array([s_lat, t_lat])
+            else:
+                lons = np.concatenate(([s_lon], info.lons, [t_lon]))
+                lats = np.concatenate(([s_lat], info.lats, [t_lat]))
+        if lons.size > 1:
+            keep = np.concatenate(([True], (np.diff(lons) != 0) | (np.diff(lats) != 0)))
+            lons, lats = lons[keep], lats[keep]
+        return lons, lats
 
-    lons = np.concatenate(([s_lon], path_lons, [t_lon]))
-    lats = np.concatenate(([s_lat], path_lats, [t_lat]))
-    turn = angular_complexity(lons, lats, _heading(s_row), _heading(t_row))
 
-    continuity = float(net.weight[s_row]) / float(net.weight[t_row])
-    return min(transition_cost(dev, turn, continuity), MAX_WEIGHT)
-
-
-def _select_targets(layers, opts, li, si, lj) -> np.ndarray:
-    """Which next-layer candidates to weigh: all (AllCompute,
-    ``all_compute.rs:17-63``) or the k nearest by haversine between candidate
-    positions (Selective, ``selective.rs:20,69-88``)."""
-    n = layers[lj].edge_rows.size
-    if opts.fanout is None or n <= opts.fanout:
-        return np.arange(n)
-    d = haversine_m(
-        layers[li].pos_lon[si], layers[li].pos_lat[si], layers[lj].pos_lon, layers[lj].pos_lat
-    )
-    return np.sort(np.argpartition(d, opts.fanout)[: opts.fanout])
+def _complexity(headings: list) -> float:
+    """Harmonic-mean turn score over a heading sequence — scalar port of
+    ``complexity_from_deltas`` (``map_path/entity.rs:269-296``): wrap deltas
+    to (-180, 180], cost = clamp(cos(delta·π/180·0.8), 0, 1), any zero
+    (≥112.5° turn) zeroes the path, else harmonic mean clamped to [0, 1]."""
+    n = len(headings)
+    if n < 2:
+        return 1.0
+    inv_sum = 0.0
+    prev = headings[0]
+    for i in range(1, n):
+        h = headings[i]
+        d = math.fmod(h - prev, 360.0)
+        if d > 180.0:
+            d -= 360.0
+        elif d <= -180.0:
+            d += 360.0
+        c = math.cos(d * _COS_K)
+        if c <= 0.0:
+            return 0.0
+        if c > 1.0:
+            c = 1.0
+        inv_sum += 1.0 / c
+        prev = h
+    v = (n - 1) / inv_sum
+    return 1.0 if v > 1.0 else (0.0 if v < 0.0 else v)
 
 
 def weigh_trellis(net: CellNetwork, layers: list[Layer], opts: MatchOptions) -> Trellis:
     """Build the trellis: emissions as node weights, transitions as boundary
     matrices; all-NO_EDGE boundaries left pending (the gap record)."""
+    ctx = _TrajectoryContext(net, layers, opts)
+    t = _weigh(ctx)
+    return t
+
+
+def _weigh(ctx: _TrajectoryContext) -> Trellis:
+    layers = ctx.layers
     t = Trellis.new([ly.edge_rows.size for ly in layers])
     for i, ly in enumerate(layers):
         t.fill_nodes(i, np.minimum(ly.emission.astype(np.int64), MAX_WEIGHT))
     for b in range(len(layers) - 1):
-        n_from = layers[b].edge_rows.size
-        n_to = layers[b + 1].edge_rows.size
-        mat = np.full((n_from, n_to), int(NO_EDGE), dtype=np.int64)
-        for si in range(n_from):
-            for ti in _select_targets(layers, opts, b, si, b + 1):
-                r = _reach(net, layers, opts, b, si, b + 1, int(ti))
-                if r is None:
-                    continue
-                mat[si, ti] = _transition_cost(net, layers, opts, b, si, b + 1, int(ti), r)
+        mat = ctx.weigh_boundary(b)
         if (mat != int(NO_EDGE)).any():
             t.fill_transition(b, mat)
     return t
-
-
-def _hop_geometry(net, layers, opts, li, si, lj, ti):
-    """Interpolated geometry of one hop: source position, interior path
-    nodes, target position — consecutive duplicates removed
-    (``candidate/route.rs:46-139``)."""
-    r = _reach(net, layers, opts, li, si, lj, ti)
-    s_lon, s_lat = float(layers[li].pos_lon[si]), float(layers[li].pos_lat[si])
-    t_lon, t_lat = float(layers[lj].pos_lon[ti]), float(layers[lj].pos_lat[ti])
-    if r is None or r[0] == "direct":
-        lons = np.array([s_lon, t_lon])
-        lats = np.array([s_lat, t_lat])
-    else:
-        path = r[1]
-        lons = np.concatenate(([s_lon], net.csr.node_lon[path], [t_lon]))
-        lats = np.concatenate(([s_lat], net.csr.node_lat[path], [t_lat]))
-    if lons.size > 1:
-        keep = np.concatenate(([True], (np.diff(lons) != 0) | (np.diff(lats) != 0)))
-        lons, lats = lons[keep], lats[keep]
-    return lons, lats
 
 
 def match_trajectory(net: CellNetwork, lons, lats, opts: MatchOptions | None = None) -> MatchResult:
@@ -287,7 +387,8 @@ def match_trajectory(net: CellNetwork, lons, lats, opts: MatchOptions | None = N
             # (matcher/entity.rs:166-193)
             raise MatchError("unanchored", empty)
 
-    trellis = weigh_trellis(net, layers, opts)
+    ctx = _TrajectoryContext(net, layers, opts)
+    trellis = _weigh(ctx)
     pending = trellis.pending_boundaries()
     if pending:
         raise MatchError("disconnected", frontier_collapse(trellis))
@@ -303,7 +404,7 @@ def match_trajectory(net: CellNetwork, lons, lats, opts: MatchOptions | None = N
             hop_lons = np.empty(0)
             hop_lats = np.empty(0)
         else:
-            hop_lons, hop_lats = _hop_geometry(net, layers, opts, k - 1, int(nodes[k - 1]), k, int(ni))
+            hop_lons, hop_lats = ctx.hop_geometry(k - 1, int(nodes[k - 1]), k, int(ni))
         out.append(
             MatchedLayer(
                 seq=int(seqs[k]),

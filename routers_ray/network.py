@@ -276,6 +276,10 @@ class CellNetwork:
     search_radius_m: float
     _bins: dict[int, np.ndarray] = field(default_factory=dict)
     _pred_cache: dict = field(default_factory=dict)  # root idx → (parents, dists)
+    # precomputed per edge row (filled by _precompute):
+    src_idx: np.ndarray | None = None  # CSR node index of src
+    dst_idx: np.ndarray | None = None  # CSR node index of dst
+    heading: np.ndarray | None = None  # edge bearing deg; NaN if degenerate (<1 m)
 
     @classmethod
     def from_edge_rows(
@@ -331,7 +335,23 @@ class CellNetwork:
             search_radius_m=search_radius_m,
         )
         net._build_bins()
+        net._precompute()
         return net
+
+    def _precompute(self) -> None:
+        """Per-edge-row derived arrays used by the vectorized weigher:
+        CSR endpoint indices and edge headings (``Candidate::edge_heading``,
+        ``candidate/entry.rs:109-122`` — NaN when endpoints are <1 m apart)."""
+        from .geo import bearing_deg as _bearing
+
+        self.src_idx = self.csr.node_index(self.src)
+        self.dst_idx = self.csr.node_index(self.dst)
+        if self.edge_id.size:
+            d = haversine_m(self.ax, self.ay, self.bx, self.by)
+            h = _bearing(self.ax, self.ay, self.bx, self.by)
+            self.heading = np.where(d < 1.0, np.nan, h)
+        else:
+            self.heading = np.empty(0, dtype=np.float64)
 
     def _build_bins(self) -> None:
         if self.edge_id.size == 0:

@@ -1,0 +1,994 @@
+"""The query registry: every operator surfaced as a ``queries()`` entry with
+(where SQL-expressible) a DuckDB oracle — the driver's correctness gate.
+
+Conventions that make the value-hash comparison exact:
+
+- all derived coordinates come from *integer* arithmetic on key columns
+  (``lon = ((id*7919) % 360000)/1000 - 180``) so both engines see identical
+  doubles;
+- money/quantity aggregates are summed as exact integers
+  (``floor(x*100 + 0.5)``) — float-sum ordering differences can never flip
+  a digit;
+- float outputs are rounded via ``floor(x*1e6+0.5)/1e6`` (identical
+  half-up semantics in NumPy and DuckDB — plain ROUND differs: banker's
+  vs half-away);
+- haversine inside query kernels uses the byte-identical formula the SQL
+  text uses (see :func:`hav_m`) rather than :mod:`routers_ray.geo`'s
+  (they agree to ~1e-9 m; the oracle demands bit-level agreement).
+
+Column names match the SQL aliases exactly (driver sorts by name).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as papq
+
+R_EARTH = 6371008.8
+Z_CELL = 12
+Z_TILE = 15
+Z_CLUSTER = 5
+
+
+# ---------------------------------------------------------------------------
+# shared derivations
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+def event_lonlat(event_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic event coordinates from integer arithmetic (exact in
+    both engines)."""
+    eid = np.asarray(event_id, dtype=np.int64)
+    lon = ((eid * 7919) % 360000) / 1000.0 - 180.0
+    lat = ((eid * 104729) % 170000) / 1000.0 - 85.0
+    return lon, lat
+
+
+SQL_EVENT_PTS = """
+    SELECT event_id, user_id, ts, event_type, value,
+           ((event_id * 7919) % 360000)/1000.0 - 180.0 AS lon,
+           ((event_id * 104729) % 170000)/1000.0 - 85.0 AS lat
+    FROM events
+"""
+
+
+def hav_m(lon1, lat1, lon2, lat2):
+    """Haversine with the exact operation order of the SQL fragment below —
+    ``radians`` applied to coordinate *differences* (unlike geo.haversine_m,
+    which converts first; the two agree to ~1e-9 m but the oracle hash needs
+    bit-equality)."""
+    lon1, lat1, lon2, lat2 = (np.asarray(v, dtype=np.float64) for v in (lon1, lat1, lon2, lat2))
+    a = (
+        np.sin(np.radians(lat2 - lat1) / 2.0) ** 2
+        + np.cos(np.radians(lat1)) * np.cos(np.radians(lat2)) * np.sin(np.radians(lon2 - lon1) / 2.0) ** 2
+    )
+    return 2.0 * R_EARTH * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+
+
+def SQL_HAV(lon1, lat1, lon2, lat2) -> str:
+    return (
+        f"2.0*{R_EARTH}*asin(least(1.0, sqrt("
+        f"pow(sin(radians({lat2}-{lat1})/2.0),2) + "
+        f"cos(radians({lat1}))*cos(radians({lat2}))*pow(sin(radians({lon2}-{lon1})/2.0),2))))"
+    )
+
+
+def r6(x: np.ndarray) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
+def r3(x: np.ndarray) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e3 + 0.5) / 1e3
+
+
+def _slippy_xy(lon, lat, z: int):
+    """floor-based slippy tiling on raw doubles — textually identical to the
+    SQL expression (no latitude clamp: derived lats stay in-domain)."""
+    n = float(1 << z)
+    x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    lat_r = np.radians(lat)
+    y = np.floor((1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n).astype(np.int64)
+    return x, y
+
+
+def SQL_SLIPPY(z: int) -> tuple[str, str]:
+    n = float(1 << z)
+    x = f"CAST(floor((lon + 180.0)/360.0*{n}) AS BIGINT)"
+    y = f"CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0*{n}) AS BIGINT)"
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# geospatial queries
+
+
+def q_cell_assign(sf_dir: str):
+    """Point→cell assignment + per-cell counts at zoom 12 (the cell-join
+    keying primitive, reference quadtree strategy ``strategy/quadtree.rs``)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(np.asarray(b["event_id"]))
+        x, y = _slippy_xy(lon, lat, Z_CELL)
+        return pa.table({"x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64())})
+
+    out = ds.map_batches(_cells, batch_format="pyarrow").groupby(["x", "y"]).count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["x", "y", "n"]), batch_format="pyarrow"
+    )
+
+
+def sql_cell_assign() -> str:
+    x, y = SQL_SLIPPY(Z_CELL)
+    return f"WITH pts AS ({SQL_EVENT_PTS}) SELECT {x} AS x, {y} AS y, COUNT(*) AS n FROM pts GROUP BY 1, 2"
+
+
+def q_tile_rollup(sf_dir: str):
+    """Zoom compaction: z12 cells rolled up to z8 parents
+    (``fragment.rs:35-47`` ``detail``/H3 ``cell_to_parent`` analogue)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(np.asarray(b["event_id"]))
+        x, y = _slippy_xy(lon, lat, Z_CELL)
+        return pa.table(
+            {"x8": pa.array(x >> 4, pa.int64()), "y8": pa.array(y >> 4, pa.int64())}
+        )
+
+    out = ds.map_batches(_cells, batch_format="pyarrow").groupby(["x8", "y8"]).count()
+    return out.map_batches(lambda t: t.rename_columns(["x8", "y8", "n"]), batch_format="pyarrow")
+
+
+def sql_tile_rollup() -> str:
+    x, y = SQL_SLIPPY(Z_CELL)
+    return (
+        f"WITH pts AS ({SQL_EVENT_PTS}), cells AS (SELECT {x} AS x, {y} AS y FROM pts) "
+        f"SELECT CAST(floor(x/16) AS BIGINT) AS x8, CAST(floor(y/16) AS BIGINT) AS y8, COUNT(*) AS n "
+        f"FROM cells GROUP BY 1, 2"
+    )
+
+
+def q_tile_project(sf_dir: str):
+    """Slippy tile + in-tile MVT offset + zig-zag encoding per point
+    (``project.rs:47-74``, ``layer.rs:78-80``)."""
+    import ray.data as rd
+
+    from ..functions import zigzag_encode
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _proj(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        lon, lat = event_lonlat(eid)
+        x, y = _slippy_xy(lon, lat, Z_TILE)
+        n = float(1 << Z_TILE)
+        fx = (lon + 180.0) / 360.0 * n
+        lat_r = np.radians(lat)
+        fy = (1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n
+        px = np.floor((fx - x) * 4096.0).astype(np.int64)
+        py = np.floor((fy - y) * 4096.0).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "px": pa.array(px, pa.int64()),
+                "py": pa.array(py, pa.int64()),
+                "zz_px": pa.array(zigzag_encode(px.astype(np.int32)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_proj, batch_format="pyarrow")
+
+
+def sql_tile_project() -> str:
+    n = float(1 << Z_TILE)
+    fx = f"((lon + 180.0)/360.0*{n})"
+    fy = f"((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0*{n})"
+    x = f"CAST(floor({fx}) AS BIGINT)"
+    y = f"CAST(floor({fy}) AS BIGINT)"
+    px = f"CAST(floor(({fx} - floor({fx}))*4096.0) AS BIGINT)"
+    py = f"CAST(floor(({fy} - floor({fy}))*4096.0) AS BIGINT)"
+    # zigzag on int32: (v<<1)^(v>>31); px ≥ 0 so this is just 2*px
+    return (
+        f"WITH pts AS ({SQL_EVENT_PTS}) SELECT event_id, {x} AS x, {y} AS y, "
+        f"{px} AS px, {py} AS py, {px}*2 AS zz_px FROM pts"
+    )
+
+
+def q_haversine_track(sf_dir: str):
+    """Per-user track length: sort by (ts, event_id) within user, sum
+    consecutive haversine hops — the per-key ordered-window pattern."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def _track(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        lon, lat = event_lonlat(g["event_id"].to_numpy())
+        d = hav_m(lon[:-1], lat[:-1], lon[1:], lat[1:]).sum() if len(g) > 1 else 0.0
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "total_m": [float(r3(d))]})
+
+    return ds.groupby("user_id").map_groups(_track, batch_format="pandas")
+
+
+def sql_haversine_track() -> str:
+    hav = SQL_HAV("plon", "plat", "lon", "lat")
+    return f"""
+    WITH pts AS ({SQL_EVENT_PTS}),
+    seq AS (
+      SELECT user_id, lon, lat,
+             lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           floor(COALESCE(SUM(CASE WHEN plon IS NULL THEN NULL ELSE {hav} END), 0.0)*1000 + 0.5)/1000 AS total_m
+    FROM seq GROUP BY user_id
+    """
+
+
+def q_nn_station(sf_dir: str):
+    """1-NN broadcast join: each event point snapped to the nearest of 25
+    nation-derived stations (the ``Snap``/proximity-service pattern —
+    small side broadcast, no shuffle; ``routers_rpc`` ScanService)."""
+    import ray.data as rd
+
+    nation = papq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey"])
+    skey = np.sort(np.asarray(nation["n_nationkey"], dtype=np.int64))
+    s_lon = ((skey * 131) % 360 - 180 + 0.5).astype(np.float64)
+    s_lat = ((skey * 37) % 160 - 80 + 0.5).astype(np.float64)
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _nn(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        lon, lat = event_lonlat(eid)
+        d = hav_m(lon[:, None], lat[:, None], s_lon[None, :], s_lat[None, :])
+        best = np.argmin(d, axis=1)  # first occurrence = lowest station key
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "station_id": pa.array(skey[best], pa.int64()),
+                "dist_m": pa.array(r3(d[np.arange(eid.size), best]), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_nn, batch_format="pyarrow")
+
+
+def sql_nn_station() -> str:
+    hav = SQL_HAV("s.slon", "s.slat", "p.lon", "p.lat")
+    return f"""
+    WITH pts AS ({SQL_EVENT_PTS}),
+    st AS (
+      SELECT n_nationkey AS station_id,
+             CAST((n_nationkey*131) % 360 - 180 AS DOUBLE) + 0.5 AS slon,
+             CAST((n_nationkey*37) % 160 - 80 AS DOUBLE) + 0.5 AS slat
+      FROM nation
+    ),
+    ranked AS (
+      SELECT p.event_id, s.station_id, {hav} AS d,
+             row_number() OVER (PARTITION BY p.event_id ORDER BY {hav}, s.station_id) AS rk
+      FROM pts p CROSS JOIN st s
+    )
+    SELECT event_id, station_id, floor(d*1000 + 0.5)/1000 AS dist_m FROM ranked WHERE rk = 1
+    """
+
+
+def q_pip_region(sf_dir: str):
+    """Point-in-polygon (rectangle) join: events counted per region box —
+    broadcast ranges + vectorized mask (no shuffle)."""
+    import ray.data as rd
+
+    region = papq.read_table(_pq(sf_dir, "region"), columns=["r_regionkey"])
+    rkey = np.sort(np.asarray(region["r_regionkey"], dtype=np.int64))
+    lon_w = (rkey * 60 - 170).astype(np.float64)
+    lon_e = lon_w + 55.0
+    lat_s = (rkey * 25 - 70).astype(np.float64)
+    lat_n = lat_s + 48.0
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _pip(b: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(np.asarray(b["event_id"]))
+        inside = (
+            (lon[:, None] >= lon_w[None, :])
+            & (lon[:, None] < lon_e[None, :])
+            & (lat[:, None] >= lat_s[None, :])
+            & (lat[:, None] < lat_n[None, :])
+        )
+        counts = inside.sum(axis=0).astype(np.int64)
+        keep = counts > 0
+        return pa.table(
+            {"region": pa.array(rkey[keep], pa.int64()), "n": pa.array(counts[keep], pa.int64())}
+        )
+
+    partial = ds.map_batches(_pip, batch_format="pyarrow")
+    out = partial.groupby("region").sum("n")
+    return out.map_batches(lambda t: t.rename_columns(["region", "n"]), batch_format="pyarrow")
+
+
+def sql_pip_region() -> str:
+    return f"""
+    WITH pts AS ({SQL_EVENT_PTS}),
+    boxes AS (
+      SELECT r_regionkey AS region,
+             CAST(r_regionkey*60 - 170 AS DOUBLE) AS lon_w,
+             CAST(r_regionkey*60 - 170 AS DOUBLE) + 55.0 AS lon_e,
+             CAST(r_regionkey*25 - 70 AS DOUBLE) AS lat_s,
+             CAST(r_regionkey*25 - 70 AS DOUBLE) + 48.0 AS lat_n
+      FROM region
+    )
+    SELECT b.region, COUNT(*) AS n
+    FROM pts p JOIN boxes b
+      ON p.lon >= b.lon_w AND p.lon < b.lon_e AND p.lat >= b.lat_s AND p.lat < b.lat_n
+    GROUP BY b.region
+    """
+
+
+def q_cluster_cells(sf_dir: str):
+    """Cell-grouped clustering: cells (z10) holding ≥3 points become a
+    cluster row with exact-integer centroid sums — the reference's
+    geohash-grouped DBSCAN shape (``routers_geo/src/cluster.rs:100-130``)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(np.asarray(b["event_id"]))
+        x, y = _slippy_xy(lon, lat, Z_CLUSTER)
+        return pa.table(
+            {
+                "cx": pa.array(x, pa.int64()),
+                "cy": pa.array(y, pa.int64()),
+                "n": pa.array(np.ones(lon.size, dtype=np.int64), pa.int64()),
+                "sum_lon_e3": pa.array(np.floor(lon * 1000 + 0.5).astype(np.int64), pa.int64()),
+                "sum_lat_e3": pa.array(np.floor(lat * 1000 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    cells = ds.map_batches(_cells, batch_format="pyarrow")
+    agg = cells.groupby(["cx", "cy"]).sum(["n", "sum_lon_e3", "sum_lat_e3"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["cx", "cy", "n", "sum_lon_e3", "sum_lat_e3"])
+        return t.filter(pc.greater_equal(t["n"], 3))
+
+    out = agg.map_batches(_final, batch_format="pyarrow")
+    # materialize driver-side with the schema pinned: an all-filtered result
+    # must still present its columns to the comparator
+    schema = pa.schema(
+        [("cx", pa.int64()), ("cy", pa.int64()), ("n", pa.int64()),
+         ("sum_lon_e3", pa.int64()), ("sum_lat_e3", pa.int64())]
+    )
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in out.iter_batches(batch_format="pyarrow")
+    ]
+    tables = [t.select(schema.names).cast(schema) for t in tables if t.num_rows]
+    return pa.concat_tables(tables) if tables else schema.empty_table()
+
+
+def sql_cluster_cells() -> str:
+    x, y = SQL_SLIPPY(Z_CLUSTER)
+    return f"""
+    WITH pts AS ({SQL_EVENT_PTS}),
+    cells AS (
+      SELECT {x} AS cx, {y} AS cy,
+             CAST(floor(lon*1000 + 0.5) AS BIGINT) AS lon_e3,
+             CAST(floor(lat*1000 + 0.5) AS BIGINT) AS lat_e3
+      FROM pts
+    )
+    SELECT cx, cy, COUNT(*) AS n,
+           CAST(SUM(lon_e3) AS BIGINT) AS sum_lon_e3,
+           CAST(SUM(lat_e3) AS BIGINT) AS sum_lat_e3
+    FROM cells GROUP BY cx, cy HAVING COUNT(*) >= 3
+    """
+
+
+# ---------------------------------------------------------------------------
+# relational / streaming-shaped
+
+
+def q_agg_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate with per-batch partial aggregation
+    (combine-before-shuffle) and exact integer money sums."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        qty = np.floor(np.asarray(b["l_quantity"], dtype=np.float64) * 100 + 0.5).astype(np.int64)
+        base = np.floor(np.asarray(b["l_extendedprice"], dtype=np.float64) * 100 + 0.5).astype(np.int64)
+        disc = np.floor(
+            np.asarray(b["l_extendedprice"], dtype=np.float64)
+            * (1.0 - np.asarray(b["l_discount"], dtype=np.float64))
+            * 10000
+            + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].to_pylist(),
+                "l_linestatus": b["l_linestatus"].to_pylist(),
+                "sum_qty_c": qty,
+                "sum_base_c": base,
+                "sum_disc_e4": disc,
+                "n": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+    out = partial.groupby(["l_returnflag", "l_linestatus"]).sum(
+        ["sum_qty_c", "sum_base_c", "sum_disc_e4", "n"]
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_base_c", "sum_disc_e4", "n"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sql_agg_pricing() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+           CAST(SUM(CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q_top_customers(sf_dir: str):
+    """Join + top-k: orders joined to customers (broadcast small side),
+    top 10 by exact-integer revenue, ties to lowest key."""
+    import pandas as pd
+    import ray.data as rd
+
+    cust = papq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    name_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.floor(np.asarray(b["o_totalprice"], dtype=np.float64) * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"c_custkey": np.asarray(b["o_custkey"], dtype=np.int64), "revenue_c": cents})
+        g = df.groupby("c_custkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+    agg = partial.groupby("c_custkey").sum("revenue_c").to_pandas()
+    agg.columns = ["c_custkey", "revenue_c"]
+    top = agg.sort_values(["revenue_c", "c_custkey"], ascending=[False, True]).head(10)
+    top["c_name"] = top["c_custkey"].map(name_of)
+    return pa.Table.from_pandas(top[["c_custkey", "c_name", "revenue_c"]], preserve_index=False)
+
+
+def sql_top_customers() -> str:
+    return """
+    SELECT o.o_custkey AS c_custkey, c.c_name,
+           CAST(SUM(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey, c.c_name
+    ORDER BY revenue_c DESC, c_custkey
+    LIMIT 10
+    """
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling hourly window per event type (streaming-shaped groupby):
+    counts + exact value sums per (event_type, hour bucket)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b["ts"], pa.int64()).to_numpy()
+        hour = ts_us // 3_600_000_000
+        val_c = np.floor(np.asarray(b["value"], dtype=np.float64) * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "hour": pa.array(hour, pa.int64()),
+                "value_c": pa.array(val_c, pa.int64()),
+                "one": pa.array(np.ones(len(b), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum(["value_c", "one"])
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_type", "hour", "sum_value_c", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_events_window() -> str:
+    return """
+    SELECT event_type, CAST(floor(epoch_us(ts)/3600000000) AS BIGINT) AS hour,
+           CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type, hour
+    """
+
+
+def q_distinct_users(sf_dir: str):
+    """Distinct aggregation: unique users per event type."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def _distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users": [int(g["user_id"].nunique())],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(_distinct, batch_format="pandas")
+
+
+def sql_distinct_users() -> str:
+    return "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events GROUP BY event_type"
+
+
+# ---------------------------------------------------------------------------
+# text suite (documents)
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: md5 content hash → keep the lowest doc_id per hash."""
+    import ray.data as rd
+
+    from ..text import dedup_exact
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dedup_exact(ds)
+
+
+def sql_dedup_exact() -> str:
+    return "SELECT md5(text) AS content_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)"
+
+
+def q_token_stats(sf_dir: str):
+    """Token counting rolled up per language."""
+    import ray.data as rd
+
+    from ..text import token_count_batch
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["lang", "text", "n_chars"])
+    counted = ds.map_batches(lambda b: token_count_batch(b), batch_format="pyarrow")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": b["lang"].to_pylist(),
+                "sum_tokens": np.asarray(b["n_tokens"], dtype=np.int64),
+                "sum_chars": np.asarray(b["n_chars"], dtype=np.int64),
+                "n_docs": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).sum(), preserve_index=False
+        )
+
+    out = counted.map_batches(_partial, batch_format="pyarrow").groupby("lang").sum(
+        ["sum_tokens", "sum_chars", "n_docs"]
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["lang", "sum_tokens", "sum_chars", "n_docs"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_token_stats() -> str:
+    return r"""
+    SELECT lang,
+           CAST(SUM(array_length(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """
+
+
+def q_quality(sf_dir: str):
+    """Per-doc quality scoring: token/punct counts + stopword ratio."""
+    import ray.data as rd
+
+    from ..text import quality_batch
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _q(b: pa.Table) -> pa.Table:
+        out = quality_batch(b)
+        return pa.table(
+            {
+                "doc_id": pc.cast(out["doc_id"], pa.int64()),
+                "n_tokens": out["n_tokens"],
+                "n_punct": out["n_punct"],
+                "stop_ratio": pa.array(r6(np.asarray(out["stop_ratio"])), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_q, batch_format="pyarrow")
+
+
+def sql_quality() -> str:
+    stop = "','".join(
+        sorted(
+            "the a an and or of to in is are was were be been on at by for with as it this that".split()
+        )
+    )
+    return rf"""
+    SELECT doc_id,
+           CAST(array_length(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+           floor(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                      t -> list_contains(['{stop}'], t))) AS DOUBLE)
+                 / CAST(array_length(string_split_regex(text, '\s+')) AS DOUBLE) * 1000000 + 0.5)/1000000
+             AS stop_ratio
+    FROM documents
+    """
+
+
+def q_lang_source_stats(sf_dir: str):
+    """Two-key grouped distribution (lang × source)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["lang", "source"])
+    out = ds.groupby(["lang", "source"]).count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["lang", "source", "n"]), batch_format="pyarrow"
+    )
+
+
+def sql_lang_source_stats() -> str:
+    return "SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source"
+
+
+def q_fingerprint(sf_dir: str):
+    """Order-insensitive document fingerprint (sorted distinct tokens → md5)."""
+    import ray.data as rd
+
+    from ..text import fingerprint_batch
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        out = fingerprint_batch(b)
+        return pa.table(
+            {"doc_id": pc.cast(out["doc_id"], pa.int64()), "fingerprint": out["fingerprint"]}
+        )
+
+    return ds.map_batches(_fp, batch_format="pyarrow")
+
+
+def sql_fingerprint() -> str:
+    return r"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\s+'))), ' ')) AS fingerprint
+    FROM documents
+    """
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-duplicate pairs verified by exact Jaccard ≥ 0.8
+    (shingle → minhash → band → bucket groupby). Non-SQL (rows-only)."""
+    import ray.data as rd
+
+    from ..text import dedup_minhash
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dedup_minhash(ds)
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash fingerprints (bit-majority over token hashes).
+    Non-SQL (rows-only)."""
+    import ray.data as rd
+
+    from ..text import simhash_batch
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _s(b: pa.Table) -> pa.Table:
+        out = simhash_batch(b)
+        return pa.table({"doc_id": pc.cast(out["doc_id"], pa.int64()), "simhash": out["simhash"]})
+
+    return ds.map_batches(_s, batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language id (stopword-profile n-gram-free variant).
+    Non-SQL (rows-only)."""
+    import ray.data as rd
+
+    from ..text import langid_batch
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _l(b: pa.Table) -> pa.Table:
+        out = langid_batch(b)
+        return pa.table(
+            {
+                "doc_id": pc.cast(out["doc_id"], pa.int64()),
+                "lang_pred": out["lang_pred"],
+                "lang_conf": pa.array(r6(np.asarray(out["lang_conf"])), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_l, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-10 for the first 5 vectors as queries — brute-force
+    baseline (broadcast query matrix, per-batch matmul partial top-k)."""
+    import ray.data as rd
+
+    from ..sim import _stack_embeddings, ann_brute_topk
+
+    head = papq.read_table(_pq(sf_dir, "embeddings"))
+    mask = pc.less(head["vec_id"], 5)
+    qtbl = head.filter(mask)
+    queries = _stack_embeddings(qtbl["embedding"])
+    qids = np.asarray(qtbl["vec_id"], dtype=np.int64)
+    order = np.argsort(qids)
+    queries, qids = queries[order], qids[order]
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ann_brute_topk(ds, queries, qids, k=10)
+
+
+def sql_ann_topk() -> str:
+    return """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    sims AS (
+      SELECT q.query_id, e.vec_id,
+             floor(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))*1000000 + 0.5)/1000000 AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+      FROM sims
+    )
+    SELECT query_id, vec_id, sim FROM ranked WHERE rk <= 10
+    """
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate cosine top-10 (the scale path).
+    Non-SQL (rows-only — approximate by design)."""
+    import ray.data as rd
+
+    from ..sim import _stack_embeddings, ann_lsh_topk
+
+    head = papq.read_table(_pq(sf_dir, "embeddings"))
+    qtbl = head.filter(pc.less(head["vec_id"], 5))
+    queries = _stack_embeddings(qtbl["embedding"])
+    qids = np.asarray(qtbl["vec_id"], dtype=np.int64)
+    order = np.argsort(qids)
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ann_lsh_topk(ds, queries[order], qids[order], k=10)
+
+
+def q_embed_norms(sf_dir: str):
+    """Per-label embedding count + exact-integer L2-norm sums."""
+    import ray.data as rd
+
+    from ..sim import _stack_embeddings
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vecs = _stack_embeddings(b["embedding"])
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        df = pd.DataFrame(
+            {
+                "label": np.asarray(b["label"], dtype=np.int64),
+                "sum_norm_e6": np.floor(norms * 1e6 + 0.5).astype(np.int64),
+                "n": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return pa.Table.from_pandas(df.groupby("label", as_index=False).sum(), preserve_index=False)
+
+    out = ds.map_batches(_partial, batch_format="pyarrow").groupby("label").sum(["sum_norm_e6", "n"])
+    return out.map_batches(
+        lambda t: t.rename_columns(["label", "sum_norm_e6", "n"]), batch_format="pyarrow"
+    )
+
+
+def sql_embed_norms() -> str:
+    return """
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(SUM(CAST(floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_norm_e6,
+           COUNT(*) AS n
+    FROM embeddings GROUP BY label
+    """
+
+
+# ---------------------------------------------------------------------------
+# multimodal + map-matching (rows-only entries)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: synth media rows for each document → actor-pool
+    feature extraction (stub decode) → per-doc rollup. Non-SQL (rows-only)."""
+    import ray.data as rd
+
+    from ..media import MediaFeatureExtractor, resize_plan_batch, synth_media_rows
+
+    docs = papq.read_table(_pq(sf_dir, "documents"), columns=["doc_id"])
+    doc_ids = [f"d{int(x)}" for x in docs["doc_id"].to_pylist()]
+    media = synth_media_rows(doc_ids, refs_per_doc=2)
+    ds = rd.from_arrow(media)
+    feats = ds.map_batches(
+        MediaFeatureExtractor, batch_format="pyarrow", batch_size=512, concurrency=2, num_cpus=1
+    ).map_batches(resize_plan_batch, batch_format="pyarrow")
+
+    def _rollup(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_pylist(),
+                "n_media": np.ones(len(b), dtype=np.int64),
+                "sum_payload_bytes": np.asarray(b["payload_bytes"], dtype=np.int64),
+                "sum_resize_w": np.asarray(b["resize_w"], dtype=np.int64),
+            }
+        )
+        return pa.Table.from_pandas(df.groupby("doc_id", as_index=False).sum(), preserve_index=False)
+
+    out = feats.map_batches(_rollup, batch_format="pyarrow").groupby("doc_id").sum(
+        ["n_media", "sum_payload_bytes", "sum_resize_w"]
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["doc_id", "n_media", "sum_payload_bytes", "sum_resize_w"]),
+        batch_format="pyarrow",
+    )
+
+
+_MATCH_WORLD: dict = {}
+
+
+def _match_world(n_docs: int = 120):
+    """Deterministic matching world (network store + corpus), built once per
+    process under /tmp — the flagship's fixture for correctness runs."""
+    key = n_docs
+    if key not in _MATCH_WORLD:
+        import tempfile
+
+        from ..network import build_network_store, synth_network
+        from ..synth import synth_corpus, write_corpus
+
+        root = tempfile.mkdtemp(prefix="routers_ray_world_")
+        nodes, edges = synth_network(seed=42, n_cities=2, grid=(8, 8))
+        store = f"{root}/netstore"
+        build_network_store(nodes, edges, store, use_ray=False)
+        docs = synth_corpus(n_docs=n_docs, seed=42, network=(nodes, edges))
+        paths = write_corpus(docs, f"{root}/corpus")
+        _MATCH_WORLD[key] = {"store": store, "paths": paths}
+    return _MATCH_WORLD[key]
+
+
+def q_match(sf_dir: str):
+    """FLAGSHIP: Viterbi map-match of the interleaved-doc corpus (synth
+    world, deterministic). Returns per-point matched rows. Non-SQL."""
+    import ray.data as rd
+
+    from .match_pipeline import match_documents, matched_ok
+
+    w = _match_world()
+    ds = rd.read_parquet(w["paths"]["parquet"])
+    matched = match_documents(ds, w["store"], concurrency=2, batch_size=64, keep_spans=False)
+    ok = matched_ok(matched)
+    return ok.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "seq": pc.cast(t["seq"], pa.int64()),
+                "edge_id": t["edge_id"],
+                "dir": pc.cast(t["dir"], pa.int64()),
+                "src": t["src"],
+                "dst": t["dst"],
+                "snap_lon": pa.array(r6(np.asarray(t["snap_lon"])), pa.float64()),
+                "snap_lat": pa.array(r6(np.asarray(t["snap_lat"])), pa.float64()),
+                "cost": pc.cast(t["cost"], pa.int64()),
+                "cell": pc.cast(t["cell"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_match_tiles(sf_dir: str):
+    """Tile materialization over the flagship match output. Non-SQL."""
+    from .match_pipeline import match_documents, matched_ok
+    from ..tiles import materialize_tiles
+    import ray.data as rd
+
+    w = _match_world()
+    ds = rd.read_parquet(w["paths"]["parquet"])
+    matched = match_documents(ds, w["store"], concurrency=2, batch_size=64, keep_spans=False)
+    tiles = materialize_tiles(matched_ok(matched), zooms=[10, 13])
+    return tiles.map_batches(
+        lambda t: pa.table(
+            {
+                "z": pc.cast(t["z"], pa.int64()),
+                "x": pc.cast(t["x"], pa.int64()),
+                "y": pc.cast(t["y"], pa.int64()),
+                "n_points": t["n_points"],
+                "doc_ids_hash": pa.array(np.asarray(t["doc_ids_hash"]).astype(np.uint64).view(np.int64), pa.int64()),
+                "hilbert": pc.cast(t["hilbert"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def registry() -> dict[str, tuple]:
+    """name → (ray_fn, oracle_sql | None)."""
+    return {
+        "cell_assign": (q_cell_assign, sql_cell_assign()),
+        "tile_rollup": (q_tile_rollup, sql_tile_rollup()),
+        "tile_project": (q_tile_project, sql_tile_project()),
+        "haversine_track": (q_haversine_track, sql_haversine_track()),
+        "nn_station": (q_nn_station, sql_nn_station()),
+        "pip_region": (q_pip_region, sql_pip_region()),
+        "cluster_cells": (q_cluster_cells, sql_cluster_cells()),
+        "agg_pricing": (q_agg_pricing, sql_agg_pricing()),
+        "top_customers": (q_top_customers, sql_top_customers()),
+        "events_window": (q_events_window, sql_events_window()),
+        "distinct_users": (q_distinct_users, sql_distinct_users()),
+        "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
+        "token_stats": (q_token_stats, sql_token_stats()),
+        "quality": (q_quality, sql_quality()),
+        "lang_source_stats": (q_lang_source_stats, sql_lang_source_stats()),
+        "fingerprint": (q_fingerprint, sql_fingerprint()),
+        "minhash_pairs": (q_minhash_pairs, None),
+        "simhash": (q_simhash, None),
+        "langid": (q_langid, None),
+        "ann_topk": (q_ann_topk, sql_ann_topk()),
+        "ann_lsh": (q_ann_lsh, None),
+        "embed_norms": (q_embed_norms, sql_embed_norms()),
+        "media_features": (q_media_features, None),
+        "match": (q_match, None),
+        "match_tiles": (q_match_tiles, None),
+    }
