@@ -70,7 +70,9 @@ def run_bench() -> dict:
     rd.DataContext.get_current().enable_progress_bars = False
 
     sf = _sf_of(SF_DIR)
-    n_docs = max(200, int(12000 * sf))  # sf0.1 → 1200 docs
+    scaling_child = os.environ.get("GRAFT_BENCH_SCALING") == "1"
+    docs_per_sf = 400_000 if scaling_child else 80_000
+    n_docs = max(200, int(docs_per_sf * sf))  # sf0.1 → 8k (40k for --scaling)
     world = _bench_world(n_docs)
 
     from routers_ray.pipelines.match_pipeline import match_documents, matched_ok
@@ -81,17 +83,28 @@ def run_bench() -> dict:
     # warm the page cache (measure compute + shuffle, not first disk read)
     rd.read_parquet(os.path.join(world, "corpus", "documents.parquet")).count()
 
-    # headline: match + tile-join end to end
+    # headline: match + tile-join end to end, matched rows written once
+    # (actor pool leaves CPU headroom for the read/sort/write stages —
+    # a pool reserving every CPU starves the rest of the pipeline)
+    pool = max(2, NUM_CPUS - 2)
+    out_dir = os.path.join("/tmp", f"routers_ray_bench_out_{NUM_CPUS}")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    ds = rd.read_parquet(os.path.join(world, "corpus", "documents.parquet"))
+    ds = rd.read_parquet(
+        os.path.join(world, "corpus", "documents.parquet"),
+        override_num_blocks=max(NUM_CPUS * 4, 32),
+    )
     matched = match_documents(
         ds,
         os.path.join(world, "netstore"),
-        concurrency=NUM_CPUS,
+        concurrency=pool,
         batch_size=32,
         keep_spans=False,
     )
-    ok = matched_ok(matched)
+    matched_ok(matched).write_parquet(out_dir)
+    ok = rd.read_parquet(out_dir)
     tiles = materialize_tiles(ok, zooms=[10, 13, 15])
     n_tiles = tiles.count()
     t_headline = time.perf_counter() - t0
@@ -133,7 +146,7 @@ def run_scaling() -> dict:
     """Same job at 8 and 32 CPUs in fresh processes (the N vs 4N criterion)."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_SCALING="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -24,12 +24,12 @@ Semantics reproduced (file:line in the reference):
   warm predicate/path caches, consecutive-duplicate point dedup
   (``candidate/route.rs:46-139``, ``collapse.rs:71-116``).
 
-Physically the weigher is organized for batch throughput: the regular
-per-pair quantities (straightline, virtual tails, endpoint bearings,
-class continuity) are computed as whole-boundary NumPy arrays; the routed
-path per (root, leaf) node pair is memoized across boundaries (trajectories
-revisit the same hops); only the ragged angular-complexity fold runs as a
-tight scalar loop.
+Physical layout (decoupled from the semantics above): all candidate layers
+of a trajectory live in flat arrays; every boundary's pairs are weighed in
+ONE vectorized pass (straightline, virtual tails, bearings, continuity and
+the optional-heading angular-complexity fold are whole-trajectory NumPy);
+routed (root, leaf) paths are resolved once, geometry batched, and memoized
+across boundaries — trajectories revisit the same hops.
 """
 
 from __future__ import annotations
@@ -72,7 +72,8 @@ class MatchOptions:
 
 @dataclass
 class Layer:
-    """One observation's candidate set (columns over candidates)."""
+    """One observation's candidate set (views into the trajectory's flat
+    candidate arrays)."""
 
     edge_rows: np.ndarray  # indices into the CellNetwork edge arrays
     frac: np.ndarray
@@ -112,18 +113,23 @@ class MatchResult:
 
 
 def generate_layers(net: CellNetwork, lons, lats, opts: MatchOptions) -> list[Layer]:
-    """Candidate layers for every trajectory point (standard generator)."""
+    """Candidate layers for every trajectory point (standard generator) —
+    one batched geometric pass for the whole trajectory."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    offsets, rows, frac, px, py, dist = net.candidates_batch(lons, lats, opts.search_distance_m)
+    emis = emission_cost(dist, opts.emission_error_m) if rows.size else np.empty(0, np.uint32)
     out = []
-    for lon, lat in zip(np.asarray(lons, dtype=np.float64), np.asarray(lats, dtype=np.float64)):
-        rows, frac, px, py, dist = net.candidates_at(float(lon), float(lat), opts.search_distance_m)
+    for i in range(lons.size):
+        lo, hi = offsets[i], offsets[i + 1]
         out.append(
             Layer(
-                edge_rows=rows,
-                frac=frac,
-                pos_lon=np.asarray(px, dtype=np.float64),
-                pos_lat=np.asarray(py, dtype=np.float64),
-                dist_m=np.asarray(dist, dtype=np.float64),
-                emission=emission_cost(dist, opts.emission_error_m) if rows.size else np.empty(0, np.uint32),
+                edge_rows=rows[lo:hi],
+                frac=frac[lo:hi],
+                pos_lon=px[lo:hi],
+                pos_lat=py[lo:hi],
+                dist_m=dist[lo:hi],
+                emission=emis[lo:hi],
             )
         )
     return out
@@ -145,13 +151,18 @@ def _predicates(net: CellNetwork, root_idx: int, threshold_cm: float):
 @dataclass
 class _PathInfo:
     """Memoized routed hop between a (root, leaf) node-index pair: the
-    parent-pointer walk plus precomputed interior geometry."""
+    parent-pointer walk, interior geometry, and the precomputed
+    angular-complexity partials of the interior heading chain."""
 
     nodes: np.ndarray  # node idx path root..leaf inclusive
     lons: np.ndarray
     lats: np.ndarray
     length_m: float  # Σ pairwise haversine over the path nodes
-    headings: list  # interior pair headings, <1 m pairs dropped (entity.rs:155-167)
+    h_first: float  # first interior heading (NaN if none ≥1 m apart)
+    h_last: float
+    h_invsum: float  # Σ 1/cos over interior deltas
+    h_zero: bool  # any interior turn ≥ 112.5°
+    h_cnt: int  # number of interior deltas
 
 
 class _TrajectoryContext:
@@ -162,61 +173,139 @@ class _TrajectoryContext:
         self.net = net
         self.layers = layers
         self.opts = opts
-        self.paths: dict[tuple[int, int], _PathInfo | None] = {}
+        # shared across trajectories on the same network (routed paths are
+        # position-independent); bounded like the predicate cache
+        if len(net._path_cache) > 65536:
+            net._path_cache.clear()
+        self.paths: dict[int, _PathInfo | None] = net._path_cache
 
-    def path_info(self, root: int, leaf: int) -> _PathInfo | None:
-        key = (root, leaf)
-        if key in self.paths:
-            return self.paths[key]
-        parents, _ = _predicates(self.net, root, self.opts.threshold_cm)
-        p = parent_path(parents, root, leaf)
-        if p is None:
-            info = None
-        else:
-            nodes = np.asarray(p, dtype=np.int64)
-            lons = self.net.csr.node_lon[nodes]
-            lats = self.net.csr.node_lat[nodes]
-            if nodes.size > 1:
-                d = haversine_m(lons[:-1], lats[:-1], lons[1:], lats[1:])
+    # -- batched path resolution ------------------------------------------
+
+    def _resolve_new(self, keys: list[int]) -> None:
+        """Resolve a batch of new (root<<32|leaf) keys: parent walks per
+        root, then ONE geometry pass over the concatenated path nodes."""
+        net = self.net
+        paths = self.paths
+        walks: list[tuple[int, list[int] | None]] = []
+        by_root: dict[int, list[int]] = {}
+        for k in keys:
+            by_root.setdefault(k >> 32, []).append(k & 0xFFFFFFFF)
+        for root, leaves in by_root.items():
+            parents, _ = _predicates(net, root, self.opts.threshold_cm)
+            for leaf in leaves:
+                walks.append(((root << 32) | leaf, parent_path(parents, root, leaf)))
+
+        flat_nodes: list[int] = []
+        spans: list[tuple[int, int, int]] = []  # (key, start, stop) for found walks
+        for k, p in walks:
+            if p is None:
+                paths[k] = None
+            else:
+                spans.append((k, len(flat_nodes), len(flat_nodes) + len(p)))
+                flat_nodes.extend(p)
+        if not spans:
+            return
+        nodes_arr = np.asarray(flat_nodes, dtype=np.int64)
+        f_lon = net.csr.node_lon[nodes_arr]
+        f_lat = net.csr.node_lat[nodes_arr]
+        # segment metrics over the whole flat array; per-path slices below
+        seg_d = haversine_m(f_lon[:-1], f_lat[:-1], f_lon[1:], f_lat[1:]) if nodes_arr.size > 1 else np.empty(0)
+        seg_b = bearing_deg(f_lon[:-1], f_lat[:-1], f_lon[1:], f_lat[1:]) if nodes_arr.size > 1 else np.empty(0)
+        for k, lo, hi in spans:
+            nn = hi - lo
+            nodes = nodes_arr[lo:hi]
+            lons = f_lon[lo:hi]
+            lats = f_lat[lo:hi]
+            if nn > 1:
+                d = seg_d[lo : hi - 1]
+                hb = seg_b[lo : hi - 1]
                 length = float(d.sum())
-                hb = bearing_deg(lons[:-1], lats[:-1], lons[1:], lats[1:])
                 headings = hb[d >= 1.0].tolist()
             else:
                 length = 0.0
                 headings = []
-            info = _PathInfo(nodes, lons, lats, length, headings)
-        self.paths[key] = info
-        return info
+            h_invsum, h_zero, h_cnt = 0.0, False, 0
+            for i in range(1, len(headings)):
+                dd = math.fmod(headings[i] - headings[i - 1], 360.0)
+                if dd > 180.0:
+                    dd -= 360.0
+                elif dd <= -180.0:
+                    dd += 360.0
+                c = math.cos(dd * _COS_K)
+                if c <= 0.0:
+                    h_zero = True
+                else:
+                    h_invsum += 1.0 / min(c, 1.0)
+                h_cnt += 1
+            paths[k] = _PathInfo(
+                nodes,
+                lons,
+                lats,
+                length,
+                headings[0] if headings else float("nan"),
+                headings[-1] if headings else float("nan"),
+                h_invsum,
+                h_zero,
+                h_cnt,
+            )
 
-    # -- boundary weighing ------------------------------------------------
+    def path_info(self, root: int, leaf: int) -> _PathInfo | None:
+        key = (root << 32) | leaf
+        if key not in self.paths:
+            self._resolve_new([key])
+        return self.paths[key]
 
-    def _pair_indices(self, b: int) -> tuple[np.ndarray, np.ndarray]:
-        """(fi, ti) pair index arrays — full grid (AllCompute) or the k
-        nearest targets per source (Selective, ``selective.rs:69-88``)."""
-        F, T = self.layers[b], self.layers[b + 1]
-        nF, nT = F.edge_rows.size, T.edge_rows.size
-        k = self.opts.fanout
-        if k is None or nT <= k:
-            return np.repeat(np.arange(nF), nT), np.tile(np.arange(nT), nF)
-        fis, tis = [], []
-        for si in range(nF):
-            d = haversine_m(F.pos_lon[si], F.pos_lat[si], T.pos_lon, T.pos_lat)
-            sel = np.sort(np.argpartition(d, k)[:k])
-            fis.append(np.full(sel.size, si))
-            tis.append(sel)
-        return np.concatenate(fis), np.concatenate(tis)
+    # -- whole-trajectory weighing ----------------------------------------
 
-    def weigh_boundary(self, b: int) -> np.ndarray:
+    def weigh_all(self) -> Trellis:
         net = self.net
-        F, T = self.layers[b], self.layers[b + 1]
-        fi, ti = self._pair_indices(b)
-        s_row = F.edge_rows[fi]
-        t_row = T.edge_rows[ti]
-        s_lon, s_lat = F.pos_lon[fi], F.pos_lat[fi]
-        t_lon, t_lat = T.pos_lon[ti], T.pos_lat[ti]
+        layers = self.layers
+        L = len(layers)
+        widths = [ly.edge_rows.size for ly in layers]
+        t = Trellis.new(widths)
+        for i, ly in enumerate(layers):
+            t.fill_nodes(i, np.minimum(ly.emission.astype(np.int64), MAX_WEIGHT))
+        if L < 2:
+            return t
+
+        # flat candidate arrays + per-layer offsets
+        loff = np.concatenate(([0], np.cumsum(widths))).astype(np.int64)
+        c_row = np.concatenate([ly.edge_rows for ly in layers])
+        c_frac = np.concatenate([ly.frac for ly in layers])
+        c_lon = np.concatenate([ly.pos_lon for ly in layers])
+        c_lat = np.concatenate([ly.pos_lat for ly in layers])
+
+        # pair index arrays across every boundary
+        FI, TI, BB = [], [], []
+        k = self.opts.fanout
+        for b in range(L - 1):
+            nF, nT = widths[b], widths[b + 1]
+            if k is None or nT <= k:
+                fi = np.repeat(np.arange(nF), nT)
+                ti = np.tile(np.arange(nT), nF)
+            else:
+                # Selective: k nearest targets per source by candidate
+                # position haversine (selective.rs:69-88)
+                F, T = layers[b], layers[b + 1]
+                d = haversine_m(
+                    F.pos_lon[:, None], F.pos_lat[:, None], T.pos_lon[None, :], T.pos_lat[None, :]
+                )
+                sel = np.sort(np.argpartition(d, k - 1, axis=1)[:, :k], axis=1)
+                fi = np.repeat(np.arange(nF), k)
+                ti = sel.ravel()
+            FI.append(fi + loff[b])
+            TI.append(ti + loff[b + 1])
+            BB.append(np.full(fi.size, b, dtype=np.int64))
+        FI = np.concatenate(FI)
+        TI = np.concatenate(TI)
+        BB = np.concatenate(BB)
+
+        s_row, t_row = c_row[FI], c_row[TI]
+        s_lon, s_lat = c_lon[FI], c_lat[FI]
+        t_lon, t_lat = c_lon[TI], c_lat[TI]
 
         straight = haversine_m(s_lon, s_lat, t_lon, t_lat)
-        direct = (s_row == t_row) & (F.frac[fi] <= T.frac[ti])
+        direct = (s_row == t_row) & (c_frac[FI] <= c_frac[TI])
 
         root = net.dst_idx[s_row]
         leaf = net.src_idx[t_row]
@@ -232,47 +321,97 @@ class _TrajectoryContext:
         h_t = net.heading[t_row]
         cont = net.weight[s_row].astype(np.float64) / net.weight[t_row].astype(np.float64)
 
-        # resolve paths (memoized across boundaries)
-        n_pairs = fi.size
-        infos: list[_PathInfo | None] = [None] * n_pairs
-        direct_l = direct.tolist()
-        for p in range(n_pairs):
-            if not direct_l[p]:
-                infos[p] = self.path_info(int(root[p]), int(leaf[p]))
+        # resolve routed paths once per unique (root, leaf)
+        n_pairs = FI.size
+        key = (root.astype(np.int64) << np.int64(32)) | leaf.astype(np.int64)
+        routed_idx = np.flatnonzero(~direct)
+        ukeys, inv = np.unique(key[routed_idx], return_inverse=True)
+        paths = self.paths
+        new = [int(kk) for kk in ukeys.tolist() if kk not in paths]
+        if new:
+            self._resolve_new(new)
 
-        # scalar fold for the ragged angular-complexity term
-        hs_l, ht_l = h_s.tolist(), h_t.tolist()
-        bsp_l, bpt_l, bst_l = b_sp.tolist(), b_pt.tolist(), b_st.tolist()
-        ts_l, tt_l, st_l = tail_s.tolist(), tail_t.tolist(), straight.tolist()
-        turn = np.ones(n_pairs, dtype=np.float64)
-        reachable = np.zeros(n_pairs, dtype=bool)
-        for p in range(n_pairs):
-            headings = []
-            if direct_l[p]:
-                if not math.isnan(hs_l[p]):
-                    headings.append(hs_l[p])
-                if st_l[p] >= 1.0:
-                    headings.append(bst_l[p])
-                if not math.isnan(ht_l[p]):
-                    headings.append(ht_l[p])
-            else:
-                info = infos[p]
-                if info is None:
-                    continue
-                if not math.isnan(hs_l[p]):
-                    headings.append(hs_l[p])
-                if ts_l[p] >= 1.0:
-                    headings.append(bsp_l[p])
-                headings.extend(info.headings)
-                if tt_l[p] >= 1.0:
-                    headings.append(bpt_l[p])
-                if not math.isnan(ht_l[p]):
-                    headings.append(ht_l[p])
-            reachable[p] = True
-            turn[p] = _complexity(headings)
+        nu = ukeys.size
+        u_ok = np.zeros(nu, dtype=bool)
+        u_len = np.zeros(nu, dtype=np.float64)
+        u_hf = np.full(nu, np.nan)
+        u_hl = np.full(nu, np.nan)
+        u_hinv = np.zeros(nu, dtype=np.float64)
+        u_hzero = np.zeros(nu, dtype=bool)
+        u_hcnt = np.zeros(nu, dtype=np.int64)
+        for j, kk in enumerate(ukeys.tolist()):
+            info = paths[kk]
+            if info is not None:
+                u_ok[j] = True
+                u_len[j] = info.length_m
+                u_hf[j] = info.h_first
+                u_hl[j] = info.h_last
+                u_hinv[j] = info.h_invsum
+                u_hzero[j] = info.h_zero
+                u_hcnt[j] = info.h_cnt
+
+        ok_r = np.zeros(n_pairs, dtype=bool)
+        i_len = np.zeros(n_pairs, dtype=np.float64)
+        blk_hf = np.full(n_pairs, np.nan)
+        blk_hl = np.full(n_pairs, np.nan)
+        blk_inv = np.zeros(n_pairs, dtype=np.float64)
+        blk_zero = np.zeros(n_pairs, dtype=bool)
+        blk_cnt = np.zeros(n_pairs, dtype=np.int64)
+        if routed_idx.size:
+            ok_r[routed_idx] = u_ok[inv]
+            i_len[routed_idx] = u_len[inv]
+            blk_hf[routed_idx] = u_hf[inv]
+            blk_hl[routed_idx] = u_hl[inv]
+            blk_inv[routed_idx] = u_hinv[inv]
+            blk_zero[routed_idx] = u_hzero[inv]
+            blk_cnt[routed_idx] = u_hcnt[inv]
+        reachable = direct | ok_r
+
+        # vectorized angular-complexity fold over the optional-heading chain
+        # [h_s?, mid?, interior-block?, b_pt?, h_t?] (entity.rs:241-296)
+        mid = np.where(
+            direct,
+            np.where(straight >= 1.0, b_st, np.nan),
+            np.where(tail_s >= 1.0, b_sp, np.nan),
+        )
+        c_pt = np.where(direct, np.nan, np.where(tail_t >= 1.0, b_pt, np.nan))
+        prev = np.full(n_pairs, np.nan)
+        inv_sum = np.zeros(n_pairs, dtype=np.float64)
+        cnt = np.zeros(n_pairs, dtype=np.int64)
+        zero = np.zeros(n_pairs, dtype=bool)
+
+        def _step(x):
+            m = ~np.isnan(x)
+            j = m & ~np.isnan(prev)
+            if j.any():
+                idx = np.flatnonzero(j)
+                d = np.fmod(x[idx] - prev[idx], 360.0)
+                d = np.where(d > 180.0, d - 360.0, d)
+                d = np.where(d <= -180.0, d + 360.0, d)
+                c = np.cos(d * _COS_K)
+                bad = c <= 0.0
+                zero[idx[bad]] = True
+                good = ~bad
+                inv_sum[idx[good]] += 1.0 / np.minimum(c[good], 1.0)
+                cnt[idx] += 1
+            prev[m] = x[m]
+
+        _step(h_s)
+        _step(mid)
+        has_blk = ~np.isnan(blk_hf)
+        _step(np.where(has_blk, blk_hf, np.nan))
+        inv_sum += blk_inv
+        cnt += blk_cnt
+        zero |= blk_zero
+        prev = np.where(has_blk, blk_hl, prev)
+        _step(c_pt)
+        _step(h_t)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            turn = np.where(cnt == 0, 1.0, np.clip(cnt / np.maximum(inv_sum, 1e-300), 0.0, 1.0))
+        turn = np.where(zero, 0.0, turn)
 
         # route length + deviance (transition.rs:200-238)
-        i_len = np.asarray([inf.length_m if inf is not None else 0.0 for inf in infos])
         route_len = np.where(direct, straight, i_len + tail_s + tail_t)
         with np.errstate(divide="ignore", invalid="ignore"):
             dev = np.where(route_len > 0.0, straight / route_len, 1.0)
@@ -283,9 +422,19 @@ class _TrajectoryContext:
         )
         cost = np.minimum((100.0 / np.clip(score, 1e-6, 1.0)).astype(np.int64), MAX_WEIGHT)
 
-        mat = np.full((F.edge_rows.size, T.edge_rows.size), int(NO_EDGE), dtype=np.int64)
-        mat[fi[reachable], ti[reachable]] = cost[reachable]
-        return mat
+        # scatter into per-boundary matrices; all-NO_EDGE boundaries stay
+        # pending (the gap record, weigh/mod.rs:160-163)
+        order = np.argsort(BB, kind="stable")
+        bounds = np.searchsorted(BB[order], np.arange(L - 1), side="left")
+        bounds = np.append(bounds, BB.size)
+        for b in range(L - 1):
+            sl = order[bounds[b] : bounds[b + 1]]
+            mat = np.full((widths[b], widths[b + 1]), int(NO_EDGE), dtype=np.int64)
+            r = sl[reachable[sl]]
+            if r.size:
+                mat[FI[r] - loff[b], TI[r] - loff[b + 1]] = cost[r]
+                t.fill_transition(b, mat)
+        return t
 
     def hop_geometry(self, li: int, si: int, lj: int, ti: int):
         """Interpolated geometry of one hop: source position, path nodes,
@@ -316,9 +465,8 @@ class _TrajectoryContext:
 
 def _complexity(headings: list) -> float:
     """Harmonic-mean turn score over a heading sequence — scalar port of
-    ``complexity_from_deltas`` (``map_path/entity.rs:269-296``): wrap deltas
-    to (-180, 180], cost = clamp(cos(delta·π/180·0.8), 0, 1), any zero
-    (≥112.5° turn) zeroes the path, else harmonic mean clamped to [0, 1]."""
+    ``complexity_from_deltas`` (``map_path/entity.rs:269-296``). Kept as the
+    reference implementation for the vectorized fold's unit tests."""
     n = len(headings)
     if n < 2:
         return 1.0
@@ -345,21 +493,7 @@ def _complexity(headings: list) -> float:
 def weigh_trellis(net: CellNetwork, layers: list[Layer], opts: MatchOptions) -> Trellis:
     """Build the trellis: emissions as node weights, transitions as boundary
     matrices; all-NO_EDGE boundaries left pending (the gap record)."""
-    ctx = _TrajectoryContext(net, layers, opts)
-    t = _weigh(ctx)
-    return t
-
-
-def _weigh(ctx: _TrajectoryContext) -> Trellis:
-    layers = ctx.layers
-    t = Trellis.new([ly.edge_rows.size for ly in layers])
-    for i, ly in enumerate(layers):
-        t.fill_nodes(i, np.minimum(ly.emission.astype(np.int64), MAX_WEIGHT))
-    for b in range(len(layers) - 1):
-        mat = ctx.weigh_boundary(b)
-        if (mat != int(NO_EDGE)).any():
-            t.fill_transition(b, mat)
-    return t
+    return _TrajectoryContext(net, layers, opts).weigh_all()
 
 
 def match_trajectory(net: CellNetwork, lons, lats, opts: MatchOptions | None = None) -> MatchResult:
@@ -388,7 +522,7 @@ def match_trajectory(net: CellNetwork, lons, lats, opts: MatchOptions | None = N
             raise MatchError("unanchored", empty)
 
     ctx = _TrajectoryContext(net, layers, opts)
-    trellis = _weigh(ctx)
+    trellis = ctx.weigh_all()
     pending = trellis.pending_boundaries()
     if pending:
         raise MatchError("disconnected", frontier_collapse(trellis))

@@ -276,6 +276,7 @@ class CellNetwork:
     search_radius_m: float
     _bins: dict[int, np.ndarray] = field(default_factory=dict)
     _pred_cache: dict = field(default_factory=dict)  # root idx → (parents, dists)
+    _path_cache: dict = field(default_factory=dict)  # (root<<32|leaf) → _PathInfo|None
     # precomputed per edge row (filled by _precompute):
     src_idx: np.ndarray | None = None  # CSR node index of src
     dst_idx: np.ndarray | None = None  # CSR node index of dst
@@ -406,6 +407,53 @@ class CellNetwork:
         px, py = point_at_fraction(self.ax[rows], self.ay[rows], self.bx[rows], self.by[rows], frac)
         dist = haversine_m(px, py, lon, lat)
         return rows, frac, px, py, dist
+
+    def candidates_batch(self, lons: np.ndarray, lats: np.ndarray, distance_m: float | None = None):
+        """Whole-trajectory candidate generation in one vectorized pass.
+
+        Same semantics as :meth:`candidates_at` per point (square box scan →
+        planar projection → haversine distance, ``traits/scan.rs:22-44``),
+        but every geometric kernel runs once over the concatenated
+        (point, edge) pairs. Returns ``(offsets, rows, frac, px, py, dist)``
+        where ``offsets[i]:offsets[i+1]`` slices point ``i``'s candidates
+        (ordered ascending (edge_id, dir) like the per-point path).
+        """
+        d = self.search_radius_m if distance_m is None else distance_m
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        n = lons.size
+        cells_pt = cells.lonlat_to_cell(lons, lats, self.join_zoom)
+        bin_rows = [self._bins.get(int(c)) for c in np.atleast_1d(cells_pt)]
+        counts = np.asarray([0 if r is None else r.size for r in bin_rows], dtype=np.int64)
+        if counts.sum() == 0:
+            e = np.empty(0)
+            return np.zeros(n + 1, dtype=np.int64), np.empty(0, np.int64), e, e, e, e
+        rows = np.concatenate([r for r in bin_rows if r is not None and r.size])
+        pt = np.repeat(np.arange(n), counts)
+
+        _, north = destination(lons, lats, 0.0, d)
+        east, _ = destination(lons, lats, 90.0, d)
+        _, south = destination(lons, lats, 180.0, d)
+        west, _ = destination(lons, lats, 270.0, d)
+
+        ax, ay, bx, by = self.ax[rows], self.ay[rows], self.bx[rows], self.by[rows]
+        lo_x, hi_x = np.minimum(ax, bx), np.maximum(ax, bx)
+        lo_y, hi_y = np.minimum(ay, by), np.maximum(ay, by)
+        hit = (
+            (hi_x >= west[pt]) & (lo_x <= east[pt]) & (hi_y >= south[pt]) & (lo_y <= north[pt])
+        )
+        rows, pt = rows[hit], pt[hit]
+        frac = segment_locate_fraction(
+            lons[pt], lats[pt], self.ax[rows], self.ay[rows], self.bx[rows], self.by[rows]
+        )
+        ok = ~np.isnan(frac)
+        rows, pt, frac = rows[ok], pt[ok], frac[ok]
+        px, py = point_at_fraction(self.ax[rows], self.ay[rows], self.bx[rows], self.by[rows], frac)
+        dist = haversine_m(px, py, lons[pt], lats[pt])
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(offsets, pt + 1, 1)
+        offsets = np.cumsum(offsets)
+        return offsets, rows, frac, px, py, dist
 
     def nearest_edge(self, lon: float, lat: float, distance_m: float | None = None):
         """1-NN snap: the closest projected candidate (``Scan``/proximity

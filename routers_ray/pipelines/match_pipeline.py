@@ -242,7 +242,16 @@ def match_documents(
     rows). Lazy end to end except the tiny salt pre-pass."""
     store = get_store(store_path)
     opts = options or MatchOptions()
-    parsed = docs_ds.map_batches(parse_trajectories, batch_format="pyarrow")
+
+    def _parse(b: pa.Table) -> pa.Table:
+        out = parse_trajectories(b)
+        if not keep_spans and "spans" in out.column_names:
+            # spans dominate row bytes; dropping them before the routing
+            # sort keeps the shuffle to the packed point columns
+            out = out.drop_columns(["spans"])
+        return out
+
+    parsed = docs_ds.map_batches(_parse, batch_format="pyarrow")
     zoom = store.partition_zoom
 
     if salt:
@@ -261,9 +270,7 @@ def match_documents(
     )
     routed = anchored.sort("route_key")
 
-    kwargs = {}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+    kwargs = {"concurrency": concurrency if concurrency is not None else 4}
     matched = routed.map_batches(
         MatchDocs,
         fn_constructor_kwargs={
