@@ -67,7 +67,8 @@ def run_bench() -> dict:
     )
     import ray.data as rd
 
-    rd.DataContext.get_current().enable_progress_bars = False
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
 
     sf = _sf_of(SF_DIR)
     scaling_child = os.environ.get("GRAFT_BENCH_SCALING") == "1"
@@ -99,9 +100,14 @@ def run_bench() -> dict:
     matched = match_documents(
         ds,
         os.path.join(world, "netstore"),
-        concurrency=pool,
+        concurrency=(pool, pool),
         batch_size=32,
         keep_spans=False,
+        # single node: no routing exchange — matcher actors page networks
+        # via their LRU; the "hash" route is the multi-node path (see
+        # match_pipeline.match_documents route param)
+        route="none",
+        salt=False,
     )
     matched_ok(matched).write_parquet(out_dir)
     ok = rd.read_parquet(out_dir)

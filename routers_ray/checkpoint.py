@@ -1,0 +1,346 @@
+"""Checkpoint / resume / lineage: partitioned output with a manifest, the
+``Continuation::reconcile`` port, and revisioned incremental runs.
+
+North-rule requirement: every partition carries lineage + row-count/latency
+metrics and jobs resume from checkpoint without recomputing matched
+trajectories. Reference semantics ported:
+
+- per-partition atomic output + manifest (the ``.shard.rt`` + manifest.txt
+  build discipline, ``routers_shard/bin/generate-shards.rs:92-130``; write
+  to temp, rename);
+- ``Continuation::reconcile``: the longest suffix of the stored trip's
+  origins that is a prefix of the incoming history → Resume (tail-cut),
+  else Restart (``routers_transition/src/matcher/continuation.rs:31-63``);
+  exact equality of (ts) ids, like the reference's exact Origin equality;
+- revisioned emissions: merge key (doc_id, seq), resolve by max revision
+  (``routers_realtime/src/event.rs:81-112``); revision = run epoch;
+- context-window tail: a resumed doc re-matches only the last
+  ``CONTEXT_WINDOW`` known points plus the new ones
+  (``orchestrator.rs:133-135``, ``Trip::tail`` ``trip.rs:122-148``).
+
+Partition key = (anchor_cell, salt) — the same routing key the matcher
+shuffle uses, so a failed run skips completed partitions by manifest lookup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .matcher import MatchOptions
+from .pipelines.match_pipeline import anchor_batch, get_store, match_batch
+from .spans import parse_trajectories
+
+CONTEXT_WINDOW = 10  # orchestrator.rs:133-135
+
+
+# ---------------------------------------------------------------------------
+# manifest
+
+
+def manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest.jsonl")
+
+
+def read_manifest(out_dir: str) -> list[dict]:
+    p = manifest_path(out_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def append_manifest(out_dir: str, rows: list[dict]) -> None:
+    """Atomic append: rewrite old+new to a temp file, rename over."""
+    old = read_manifest(out_dir)
+    tmp = manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        for r in old + rows:
+            f.write(json.dumps(r) + "\n")
+    os.replace(tmp, manifest_path(out_dir))
+
+
+def completed_partitions(out_dir: str) -> set[str]:
+    return {r["partition_id"] for r in read_manifest(out_dir)}
+
+
+# ---------------------------------------------------------------------------
+# checkpointed run
+
+
+def run_checkpointed(
+    docs_ds,
+    store_path: str,
+    out_dir: str,
+    options: MatchOptions | None = None,
+    revision_epoch: int = 0,
+    target_docs_per_salt: int = 2000,
+    keep_spans: bool = True,
+) -> dict:
+    """Match all docs, writing one parquet dir per (anchor_cell, salt)
+    partition atomically + a lineage manifest row per partition. A rerun
+    skips partitions already in the manifest.
+
+    Returns ``{"computed": n, "skipped": n, "partitions": [...]}``.
+    """
+    import pyarrow.compute as pc
+
+    opts = options or MatchOptions()
+    store = get_store(store_path)
+    os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
+    done = completed_partitions(out_dir)
+
+    parsed = docs_ds.map_batches(parse_trajectories, batch_format="pyarrow")
+    zoom = store.partition_zoom
+
+    from .pipelines.match_pipeline import compute_salts
+
+    pre = parsed.map_batches(lambda b: anchor_batch(b, zoom, None), batch_format="pyarrow")
+    salt_of_cell = compute_salts(
+        pre.select_columns(["doc_id", "anchor_cell"]), target_docs_per_salt
+    )
+    anchored = parsed.map_batches(
+        lambda b: anchor_batch(b, zoom, salt_of_cell), batch_format="pyarrow"
+    )
+
+    # skip completed partitions before the shuffle (broadcast of the small
+    # done-set — the manifest is one row per partition)
+    done_list = sorted(done)
+
+    def _filter_done(b: pa.Table) -> pa.Table:
+        if not done_list:
+            return b
+        pid = [
+            f"cell={c}_salt={s}"
+            for c, s in zip(b["anchor_cell"].to_pylist(), b["salt"].to_pylist())
+        ]
+        keep = ~np.isin(np.asarray(pid), np.asarray(done_list))
+        return b.filter(pa.array(keep))
+
+    todo = anchored.map_batches(_filter_done, batch_format="pyarrow")
+
+    opts_dict = {
+        "search_distance_m": opts.search_distance_m,
+        "emission_error_m": opts.emission_error_m,
+        "threshold_cm": opts.threshold_cm,
+        "fanout": opts.fanout,
+        "drop_unanchored": opts.drop_unanchored,
+    }
+
+    def _write_partition(group: pa.Table) -> pa.Table:
+        """groupby((cell, salt)).map_groups body: match + atomic write +
+        manifest row. Uses the per-process store cache (works under both
+        task and actor execution)."""
+        t0 = time.perf_counter()
+        cell = int(group["anchor_cell"][0].as_py())
+        salt = int(group["salt"][0].as_py())
+        pid = f"cell={cell}_salt={salt}"
+        if pid in done:
+            return pa.table({"partition_id": pa.array([], pa.string())})
+        st = get_store(store_path)
+        matched = match_batch(group, st, MatchOptions(**opts_dict), keep_spans=keep_spans)
+        matched = matched.append_column(
+            "revision", pa.array([revision_epoch] * len(matched), pa.uint64())
+        )
+        pdir = os.path.join(out_dir, "parts", pid)
+        tmp = pdir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(matched, os.path.join(tmp, "part.parquet"))
+        if os.path.exists(pdir):
+            import shutil
+
+            shutil.rmtree(pdir)
+        os.replace(tmp, pdir)
+        ts_col = group["pts_ts"]
+        flat_ts = (
+            ts_col.combine_chunks().flatten() if isinstance(ts_col, pa.ChunkedArray) else ts_col.flatten()
+        )
+        max_ts = pc.max(flat_ts).as_py() if len(flat_ts) else None
+        return pa.table(
+            {
+                "partition_id": pa.array([pid], pa.string()),
+                "cell": pa.array([cell], pa.int64()),
+                "salt": pa.array([salt], pa.int32()),
+                "rows_in": pa.array([len(group)], pa.int64()),
+                "rows_out": pa.array([len(matched)], pa.int64()),
+                "max_ts": pa.array([max_ts if max_ts is not None else -1], pa.int64()),
+                "t_ms": pa.array([(time.perf_counter() - t0) * 1000.0], pa.float64()),
+                "revision_epoch": pa.array([revision_epoch], pa.int64()),
+            }
+        )
+
+    result = todo.groupby(["anchor_cell", "salt"]).map_groups(
+        _write_partition, batch_format="pyarrow"
+    )
+    rows = result.to_pandas()
+    rows = rows[rows["partition_id"] != ""] if len(rows) else rows
+    new_rows = rows.to_dict("records") if len(rows) else []
+    append_manifest(out_dir, new_rows)
+    return {
+        "computed": len(new_rows),
+        "skipped": len(done),
+        "partitions": [r["partition_id"] for r in new_rows],
+    }
+
+
+def read_matched(out_dir: str) -> pa.Table:
+    """All partition outputs as one Arrow table."""
+    parts_dir = os.path.join(out_dir, "parts")
+    tables = []
+    for d in sorted(os.listdir(parts_dir)):
+        if d.endswith(".tmp"):
+            continue
+        p = os.path.join(parts_dir, d, "part.parquet")
+        if os.path.exists(p):
+            tables.append(pq.read_table(p))
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+# ---------------------------------------------------------------------------
+# reconcile + incremental runs
+
+
+def reconcile(stored_ts: list[int], incoming_ts: list[int]) -> tuple[str, int]:
+    """Port of ``Continuation::reconcile`` (``continuation.rs:31-63``).
+
+    Returns ``("skip", n)`` when the incoming history IS the stored one,
+    ``("resume", n_overlap)`` when some suffix of the stored trip equals a
+    prefix of the incoming history (n_overlap = its length), else
+    ``("restart", 0)``.
+    """
+    if stored_ts and stored_ts == incoming_ts:
+        return ("skip", len(stored_ts))
+    for start in range(len(stored_ts)):
+        suffix = stored_ts[start:]
+        if suffix == incoming_ts[: len(suffix)]:
+            if len(suffix) > 0:
+                return ("resume", len(suffix))
+    return ("restart", 0)
+
+
+def incremental_match(
+    docs_tbl: pa.Table,
+    store_path: str,
+    state_dir: str,
+    revision_epoch: int,
+    options: MatchOptions | None = None,
+) -> pa.Table:
+    """Micro-batch incremental matching with per-doc trip state.
+
+    State = per-doc matched ts-list (bounded to the last CONTEXT_WINDOW
+    points — the ``Trip::tail`` window). New arrivals reconcile against it:
+    skip / resume (re-match the overlap window + new points, emit only new
+    seqs) / restart (re-match everything). Emitted rows carry
+    ``revision = revision_epoch``; merge with :func:`merge_revisions`.
+    """
+    opts = options or MatchOptions()
+    store = get_store(store_path)
+    os.makedirs(state_dir, exist_ok=True)
+    state_path = os.path.join(state_dir, "trips.json")
+    state: dict[str, list[int]] = {}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+
+    from .cells import lonlat_to_cell
+    from .matcher import MatchError, match_trajectory
+
+    parsed = parse_trajectories(docs_tbl)
+    parsed = anchor_batch(parsed, store.partition_zoom, None)
+
+    def _flat(name):
+        col = parsed[name]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64), np.asarray(arr.values)
+
+    offs, flat_ts = _flat("pts_ts")
+    _, flat_lon = _flat("pts_lon")
+    _, flat_lat = _flat("pts_lat")
+    doc_ids = parsed["doc_id"].to_pylist()
+
+    o_doc, o_seq, o_status, o_eid, o_dir, o_src, o_dst = [], [], [], [], [], [], []
+    o_slon, o_slat, o_cost, o_cell, o_action = [], [], [], [], []
+    for i, doc in enumerate(doc_ids):
+        lo, hi = offs[i], offs[i + 1]
+        ts = flat_ts[lo:hi].astype(np.int64).tolist()
+        action, n_overlap = reconcile(state.get(doc, []), ts)
+        if action == "skip":
+            continue
+        if action == "resume":
+            # tail-cut: re-match only the known-overlap window + new points
+            # (Trip::tail, trip.rs:122-148); emit only genuinely new layers
+            first_new = n_overlap
+            window_start = max(0, first_new - CONTEXT_WINDOW)
+            emit_from = first_new
+        else:
+            window_start = 0
+            emit_from = 0
+        ll = flat_lon[lo + window_start : hi].astype(np.float64)
+        la = flat_lat[lo + window_start : hi].astype(np.float64)
+        if ll.size == 0:
+            continue
+        buffer_m = opts.threshold_cm / 100.0 + opts.search_distance_m
+        net = store.network_for_bbox(
+            float(ll.min()), float(la.min()), float(ll.max()), float(la.max()),
+            buffer_m=buffer_m, search_radius_m=opts.search_distance_m,
+        )
+        try:
+            res = match_trajectory(net, ll, la, opts)
+        except MatchError as e:
+            o_doc.append(doc), o_seq.append(-1), o_status.append(e.kind)
+            o_eid.append(None), o_dir.append(None), o_src.append(None), o_dst.append(None)
+            o_slon.append(None), o_slat.append(None), o_cost.append(None), o_cell.append(None)
+            o_action.append(action)
+            state[doc] = ts[-CONTEXT_WINDOW * 3 :]
+            continue
+        for m in res.layers:
+            seq = m.seq + window_start  # global layer index
+            if seq < emit_from:
+                continue  # already-emitted prefix (converged layers)
+            o_doc.append(doc), o_seq.append(seq), o_status.append("ok")
+            o_eid.append(m.edge_id), o_dir.append(m.direction)
+            o_src.append(m.src), o_dst.append(m.dst)
+            o_slon.append(m.snap_lon), o_slat.append(m.snap_lat)
+            o_cost.append(res.cost)
+            o_cell.append(int(lonlat_to_cell(m.snap_lon, m.snap_lat, 15)))
+            o_action.append(action)
+        state[doc] = ts[-CONTEXT_WINDOW * 3 :]  # history tail ×3 (orchestrator.rs:501)
+
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, state_path)
+
+    n = len(o_doc)
+    return pa.table(
+        {
+            "doc_id": pa.array(o_doc, pa.string()),
+            "seq": pa.array(o_seq, pa.int32()),
+            "status": pa.array(o_status, pa.string()),
+            "edge_id": pa.array(o_eid, pa.int64()),
+            "dir": pa.array(o_dir, pa.uint8()),
+            "src": pa.array(o_src, pa.int64()),
+            "dst": pa.array(o_dst, pa.int64()),
+            "snap_lon": pa.array(o_slon, pa.float64()),
+            "snap_lat": pa.array(o_slat, pa.float64()),
+            "cost": pa.array(o_cost, pa.uint32()),
+            "cell": pa.array(o_cell, pa.uint64()),
+            "action": pa.array(o_action, pa.string()),
+            "revision": pa.array([revision_epoch] * n, pa.uint64()),
+        }
+    )
+
+
+def merge_revisions(tbl: pa.Table) -> pa.Table:
+    """Emission merge: per (doc_id, seq) keep the max-revision row
+    (``event.rs:100-112``)."""
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    df = df.sort_values(["doc_id", "seq", "revision"]).groupby(["doc_id", "seq"], as_index=False).last()
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -73,6 +73,16 @@ def anchor_batch(batch: pa.Table, partition_zoom: int, salt_of_cell: dict | None
     return out.append_column("route_key", pa.array(route, pa.int64()))
 
 
+def _hash_shuffle_enabled() -> bool:
+    try:
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+
+        return DataContext.get_current().shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+    except Exception:
+        return False
+
+
 def compute_salts(ds, target_docs_per_salt: int = 2000) -> dict[int, int]:
     """Skew pre-pass: docs per anchor cell → n_salt per cell.
 
@@ -237,9 +247,26 @@ def match_documents(
     salt: bool = True,
     keep_spans: bool = True,
     target_docs_per_salt: int = 2000,
+    route: str = "auto",
+    route_blocks: int = 64,
 ):
     """docs Dataset → matched Dataset (status column distinguishes ok/error
-    rows). Lazy end to end except the tiny salt pre-pass."""
+    rows). Lazy end to end except the tiny salt pre-pass.
+
+    ``route`` picks the trajectory→actor routing shuffle:
+
+    - ``"hash"`` — ``repartition(keys=["route_key"])``, a hash-partitioned
+      exchange co-locating each (cell, salt) in one block (requires
+      ``DataContext.shuffle_strategy = HASH_SHUFFLE``); the scale path: each
+      matcher actor pages only its cells' networks;
+    - ``"sort"`` — global sort on route_key (ordered blocks; more expensive
+      and on this Ray version its output streams with poor downstream
+      parallelism — kept for ordered-output runs);
+    - ``"none"`` — no exchange; actors rely on their network LRU (fine on a
+      single node / small worlds, memory-heavier at cluster scale);
+    - ``"auto"`` — "hash" when the hash shuffle strategy is active, else
+      "none".
+    """
     store = get_store(store_path)
     opts = options or MatchOptions()
 
@@ -268,7 +295,15 @@ def match_documents(
     anchored = parsed.map_batches(
         lambda b: anchor_batch(b, zoom, salt_of_cell), batch_format="pyarrow"
     )
-    routed = anchored.sort("route_key")
+
+    if route == "auto":
+        route = "hash" if _hash_shuffle_enabled() else "none"
+    if route == "hash":
+        routed = anchored.repartition(route_blocks, keys=["route_key"])
+    elif route == "sort":
+        routed = anchored.sort("route_key")
+    else:
+        routed = anchored
 
     kwargs = {"concurrency": concurrency if concurrency is not None else 4}
     matched = routed.map_batches(

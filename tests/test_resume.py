@@ -1,0 +1,172 @@
+"""Checkpoint / resume / lineage tests (FIXTURES.md §6):
+(a) completed partitions are skipped on rerun, (b) interrupted + resumed
+output equals the uninterrupted run, (c) Continuation.reconcile semantics,
+(d) revisioned incremental runs merge correctly."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from routers_ray.checkpoint import (
+    append_manifest,
+    incremental_match,
+    manifest_path,
+    merge_revisions,
+    read_manifest,
+    read_matched,
+    reconcile,
+    run_checkpointed,
+)
+from routers_ray.network import build_network_store, synth_network
+from routers_ray.spans import DOCS_SCHEMA
+from routers_ray.synth import synth_corpus, write_corpus
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory, ray_session):
+    root = tmp_path_factory.mktemp("ckpt")
+    nodes, edges = synth_network(seed=42, n_cities=2, grid=(8, 8))
+    store_dir = str(root / "netstore")
+    build_network_store(nodes, edges, store_dir, use_ray=False)
+    docs = synth_corpus(n_docs=30, seed=43, network=(nodes, edges))
+    paths = write_corpus(docs, str(root / "corpus"))
+    return {"root": root, "store": store_dir, "docs": docs, "paths": paths}
+
+
+class TestReconcile:
+    def test_skip_when_identical(self):
+        assert reconcile([1, 2, 3], [1, 2, 3]) == ("skip", 3)
+
+    def test_resume_on_overlap(self):
+        # stored window slid past point 1; new points arrived
+        assert reconcile([2, 3, 4], [2, 3, 4, 5, 6]) == ("resume", 3)
+        assert reconcile([1, 2, 3, 4], [3, 4, 5]) == ("resume", 2)
+
+    def test_restart_on_mismatch(self):
+        assert reconcile([1, 2, 3], [7, 8, 9]) == ("restart", 0)
+        assert reconcile([], [1, 2]) == ("restart", 0)
+
+    def test_suffix_must_be_prefix(self):
+        # overlap exists but not as suffix-of-stored == prefix-of-incoming
+        assert reconcile([1, 2, 3], [2, 3]) == ("resume", 2)
+        assert reconcile([5, 1, 2], [1, 2, 3]) == ("resume", 2)
+
+
+def _run(world, out_dir, target=5):
+    import ray.data as rd
+
+    ds = rd.read_parquet(world["paths"]["parquet"])
+    return run_checkpointed(ds, world["store"], out_dir, target_docs_per_salt=target)
+
+
+def test_full_run_writes_manifest(world, tmp_path):
+    out = str(tmp_path / "out_full")
+    stats = _run(world, out)
+    man = read_manifest(out)
+    assert stats["computed"] == len(man) >= 2
+    for row in man:
+        assert row["rows_out"] > 0 and row["t_ms"] > 0
+        assert row["partition_id"].startswith("cell=")
+    full = read_matched(out)
+    assert len(full) > 0
+
+
+def test_rerun_skips_everything(world, tmp_path):
+    out = str(tmp_path / "out_skip")
+    _run(world, out)
+    stats2 = _run(world, out)
+    assert stats2["computed"] == 0
+    assert stats2["skipped"] == len(read_manifest(out))
+
+
+def test_interrupted_resume_equals_full(world, tmp_path):
+    out_a = str(tmp_path / "out_a")  # uninterrupted
+    out_b = str(tmp_path / "out_b")  # interrupted + resumed
+    _run(world, out_a)
+    _run(world, out_b)
+    # simulate a crash: drop the last manifest rows (their parts linger)
+    man = read_manifest(out_b)
+    keep = man[: len(man) // 2]
+    with open(manifest_path(out_b), "w") as f:
+        for r in keep:
+            f.write(json.dumps(r) + "\n")
+    stats = _run(world, out_b)
+    assert stats["computed"] == len(man) - len(keep)
+    assert stats["skipped"] == len(keep)
+
+    a = read_matched(out_a).to_pandas()
+    b = read_matched(out_b).to_pandas()
+    cols = ["doc_id", "seq", "status", "edge_id", "src", "dst", "cost"]
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+
+def _truncate_docs(docs: pa.Table, n_points: int) -> pa.Table:
+    """First n_points trajectory points per doc (media/prose spans kept up
+    to the cut)."""
+    rows = docs.to_pylist()
+    out = []
+    for r in rows:
+        spans, seen = [], 0
+        for s in r["spans"]:
+            if s["kind"] == "text" and len(s["text"].split()) == 3 and not s["media_ref"]:
+                if seen >= n_points:
+                    break
+                seen += 1
+            spans.append(s)
+        out.append({"doc_id": r["doc_id"], "spans": spans})
+    return pa.Table.from_pylist(out, schema=DOCS_SCHEMA)
+
+
+def test_incremental_revisions(world, tmp_path):
+    state_dir = str(tmp_path / "state")
+    v1 = _truncate_docs(world["docs"], 6)
+    e1 = incremental_match(v1, world["store"], state_dir, revision_epoch=1)
+    assert len(e1) > 0
+    assert set(e1["action"].to_pylist()) == {"restart"}
+
+    # same data again → everything skipped
+    e1b = incremental_match(v1, world["store"], state_dir, revision_epoch=2)
+    assert len(e1b) == 0
+
+    # full trajectories arrive → resumed docs emit only new seqs
+    # (new = beyond that doc's v1 point count, which caps at 6)
+    from routers_ray.spans import parse_trajectories
+
+    v1_n = dict(
+        zip(
+            parse_trajectories(v1)["doc_id"].to_pylist(),
+            parse_trajectories(v1)["n_pts"].to_pylist(),
+        )
+    )
+    e2 = incremental_match(world["docs"], world["store"], state_dir, revision_epoch=3)
+    ok2 = e2.filter(pa.compute.equal(e2["status"], "ok")).to_pandas()
+    resumed = ok2[ok2["action"] == "resume"]
+    assert (resumed["seq"].to_numpy() >= resumed["doc_id"].map(v1_n).to_numpy()).all()
+    assert len(ok2) > 0
+
+    merged = merge_revisions(pa.concat_tables([e1, e2])).to_pandas()
+    ok1 = e1.filter(pa.compute.equal(e1["status"], "ok")).to_pandas()
+    # merged covers the union of emitted (doc, seq) pairs exactly once
+    want = set(map(tuple, ok1[["doc_id", "seq"]].itertuples(index=False))) | set(
+        map(tuple, ok2[["doc_id", "seq"]].itertuples(index=False))
+    )
+    got_ok = merged[merged["status"] == "ok"]
+    got = set(map(tuple, got_ok[["doc_id", "seq"]].itertuples(index=False)))
+    assert got == want
+    assert got_ok.groupby(["doc_id", "seq"]).size().max() == 1
+
+
+def test_manifest_append_atomic(world, tmp_path):
+    out = str(tmp_path / "out_m")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    append_manifest(out, [{"partition_id": "p1"}])
+    append_manifest(out, [{"partition_id": "p2"}])
+    assert [r["partition_id"] for r in read_manifest(out)] == ["p1", "p2"]
