@@ -129,14 +129,22 @@ class MatchDocs:
         options: dict | None = None,
         out_zoom: int = 15,
         keep_spans: bool = True,
+        parse_inside: bool = False,
     ):
         self.store_path = store_path
         self.opts = MatchOptions(**(options or {}))
         self.out_zoom = out_zoom
         self.keep_spans = keep_spans
+        self.parse_inside = parse_inside
         self.store = get_store(store_path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.parse_inside and "pts_lon" not in batch.column_names:
+            # fused mode (unrouted single-node path): span parse runs in the
+            # actor so the stateless feed stages never starve the pool
+            batch = parse_trajectories(batch)
+            if not self.keep_spans and "spans" in batch.column_names:
+                batch = batch.drop_columns(["spans"])
         return match_batch(
             batch, self.store, self.opts, out_zoom=self.out_zoom, keep_spans=self.keep_spans
         )
@@ -270,6 +278,27 @@ def match_documents(
     store = get_store(store_path)
     opts = options or MatchOptions()
 
+    if route == "auto":
+        route = "hash" if _hash_shuffle_enabled() else "none"
+
+    kwargs = {"concurrency": concurrency if concurrency is not None else 4}
+    if route == "none" and not salt:
+        # fused fast path: read → actor(parse+match); no feed stages to starve
+        return docs_ds.map_batches(
+            MatchDocs,
+            fn_constructor_kwargs={
+                "store_path": store_path,
+                "options": asdict(opts),
+                "out_zoom": out_zoom,
+                "keep_spans": keep_spans,
+                "parse_inside": True,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=1,
+            **kwargs,
+        )
+
     def _parse(b: pa.Table) -> pa.Table:
         out = parse_trajectories(b)
         if not keep_spans and "spans" in out.column_names:
@@ -296,8 +325,6 @@ def match_documents(
         lambda b: anchor_batch(b, zoom, salt_of_cell), batch_format="pyarrow"
     )
 
-    if route == "auto":
-        route = "hash" if _hash_shuffle_enabled() else "none"
     if route == "hash":
         routed = anchored.repartition(route_blocks, keys=["route_key"])
     elif route == "sort":
@@ -305,7 +332,6 @@ def match_documents(
     else:
         routed = anchored
 
-    kwargs = {"concurrency": concurrency if concurrency is not None else 4}
     matched = routed.map_batches(
         MatchDocs,
         fn_constructor_kwargs={
