@@ -221,6 +221,85 @@ def hilbert_xy2d(x, y, z: int):
     return d
 
 
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH32_INV = {c: i for i, c in enumerate(_GH32)}
+
+
+def geohash_encode(lon, lat, precision: int = 4):
+    """Base-32 geohash strings, vectorized (reference sharding cell system,
+    ``routers_shard/src/strategy/geohash.rs:15-23,85-137``; precision 4 is
+    the shard default, ``routers_realtime/src/event.rs:245``).
+
+    Geohash interleaves lon/lat bisections starting with longitude; each
+    character encodes 5 bits.
+    """
+    lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    nbits = precision * 5
+    # bit i (from the MSB) alternates lon (even) / lat (odd)
+    n_lon = (nbits + 1) // 2
+    n_lat = nbits // 2
+    lon_q = np.clip(((lon + 180.0) / 360.0 * (1 << n_lon)).astype(np.uint64), 0, (1 << n_lon) - 1)
+    lat_q = np.clip(((lat + 90.0) / 180.0 * (1 << n_lat)).astype(np.uint64), 0, (1 << n_lat) - 1)
+    # interleave: lon bits at even positions (MSB first)
+    val = np.zeros(lon.shape, dtype=np.uint64)
+    li, bi = n_lon, n_lat
+    for i in range(nbits):
+        if i % 2 == 0:
+            li -= 1
+            bit = (lon_q >> np.uint64(li)) & np.uint64(1)
+        else:
+            bi -= 1
+            bit = (lat_q >> np.uint64(bi)) & np.uint64(1)
+        val = (val << np.uint64(1)) | bit
+    chars = []
+    for i in range(precision):
+        shift = np.uint64(5 * (precision - 1 - i))
+        chars.append((val >> shift) & np.uint64(31))
+    out = ["".join(_GH32[int(c[j])] for c in chars) for j in range(lon.size)]
+    return out
+
+
+def geohash_decode(hashes) -> tuple[np.ndarray, np.ndarray]:
+    """Center (lon, lat) of geohash cells (``strategy/geohash.rs:43-64``)."""
+    lons = np.empty(len(hashes))
+    lats = np.empty(len(hashes))
+    for j, h in enumerate(hashes):
+        lon_lo, lon_hi, lat_lo, lat_hi = -180.0, 180.0, -90.0, 90.0
+        even = True
+        for ch in h:
+            v = _GH32_INV[ch]
+            for b in (16, 8, 4, 2, 1):
+                if even:
+                    mid = (lon_lo + lon_hi) / 2.0
+                    if v & b:
+                        lon_lo = mid
+                    else:
+                        lon_hi = mid
+                else:
+                    mid = (lat_lo + lat_hi) / 2.0
+                    if v & b:
+                        lat_lo = mid
+                    else:
+                        lat_hi = mid
+                even = not even
+        lons[j] = (lon_lo + lon_hi) / 2.0
+        lats[j] = (lat_lo + lat_hi) / 2.0
+    return lons, lats
+
+
+def geohash_to_u64(hashes) -> np.ndarray:
+    """Pack geohash strings into u64 ids — 5 bits per char, length tag in
+    the low bits (reference packing ``routers_geo/src/cluster.rs:79-98``)."""
+    out = np.zeros(len(hashes), dtype=np.uint64)
+    for j, h in enumerate(hashes):
+        v = np.uint64(0)
+        for ch in h:
+            v = (v << np.uint64(5)) | np.uint64(_GH32_INV[ch])
+        out[j] = (v << np.uint64(4)) | np.uint64(len(h) & 0xF)
+    return out
+
+
 def meters_to_deg(lat, meters):
     """Conservative meter→degree conversion at a latitude (for buffers)."""
     lat = np.asarray(lat, dtype=np.float64)

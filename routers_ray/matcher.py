@@ -504,22 +504,30 @@ def match_trajectory(net: CellNetwork, lons, lats, opts: MatchOptions | None = N
     lats = np.asarray(lats, dtype=np.float64)
     seqs = np.arange(lons.size)
 
+    if opts.max_layers is not None and lons.size > opts.max_layers:
+        # Trip::tail windowing: bound memory by keeping the last n layers
+        # (trip.rs:122-148); seq numbering keeps the global indices
+        lons = lons[-opts.max_layers :]
+        lats = lats[-opts.max_layers :]
+        seqs = seqs[-opts.max_layers :]
+
     layers = generate_layers(net, lons, lats, opts)
     empty = [i for i, ly in enumerate(layers) if ly.edge_rows.size == 0]
+    empty_seqs = [int(seqs[i]) for i in empty]
     dropped: list[int] = []
     if empty:
         if opts.drop_unanchored:
             # streaming mode: drop unanchored points (realtime/bin/matcher.rs:143-157)
-            dropped = empty
+            dropped = empty_seqs
             keep = [i for i in range(len(layers)) if i not in set(empty)]
             layers = [layers[i] for i in keep]
             seqs = seqs[keep]
             if not layers:
-                raise MatchError("unanchored", empty)
+                raise MatchError("unanchored", empty_seqs)
         else:
             # batch mode: whole-batch reject listing every unanchored point
             # (matcher/entity.rs:166-193)
-            raise MatchError("unanchored", empty)
+            raise MatchError("unanchored", empty_seqs)
 
     ctx = _TrajectoryContext(net, layers, opts)
     trellis = ctx.weigh_all()
