@@ -112,7 +112,7 @@ def run_bench() -> dict:
     matched_ok(matched).write_parquet(out_dir)
     ok = rd.read_parquet(out_dir)
     tiles = materialize_tiles(ok, zooms=[10, 13, 15])
-    n_tiles = tiles.count()
+    n_tiles = tiles.num_rows
     t_headline = time.perf_counter() - t0
     timings["match_tiles"] = round(t_headline, 3)
 

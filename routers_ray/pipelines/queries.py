@@ -943,19 +943,16 @@ def q_match_tiles(sf_dir: str):
     w = _match_world()
     ds = rd.read_parquet(w["paths"]["parquet"])
     matched = match_documents(ds, w["store"], concurrency=2, batch_size=64, keep_spans=False)
-    tiles = materialize_tiles(matched_ok(matched), zooms=[10, 13])
-    return tiles.map_batches(
-        lambda t: pa.table(
-            {
-                "z": pc.cast(t["z"], pa.int64()),
-                "x": pc.cast(t["x"], pa.int64()),
-                "y": pc.cast(t["y"], pa.int64()),
-                "n_points": t["n_points"],
-                "doc_ids_hash": pa.array(np.asarray(t["doc_ids_hash"]).astype(np.uint64).view(np.int64), pa.int64()),
-                "hilbert": pc.cast(t["hilbert"], pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
+    t = materialize_tiles(matched_ok(matched), zooms=[10, 13])
+    return pa.table(
+        {
+            "z": pc.cast(t["z"], pa.int64()),
+            "x": pc.cast(t["x"], pa.int64()),
+            "y": pc.cast(t["y"], pa.int64()),
+            "n_points": t["n_points"],
+            "doc_ids_hash": pa.array(np.asarray(t["doc_ids_hash"]).astype(np.uint64).view(np.int64), pa.int64()),
+            "hilbert": pc.cast(t["hilbert"], pa.int64()),
+        }
     )
 
 

@@ -115,17 +115,68 @@ def add_hilbert(batch: pa.Table) -> pa.Table:
     return batch.append_column("hilbert", pa.array(h, pa.uint64()))
 
 
-def materialize_tiles(matched_ds, zooms: list[int]):
-    """Dataset pipeline: matched rows → tile table sorted by (z, hilbert).
+def materialize_tiles(matched_ds, zooms: list[int], merge: str = "driver"):
+    """Matched rows → tile table sorted by (z, hilbert).
 
     ``matched_ds`` must carry doc_id/seq/snap_lon/snap_lat columns (ok rows
-    only). The partial→merge split keeps the shuffle small: the groupby sees
-    one row per (batch, tile), not one per point.
+    only). The per-batch partial aggregation runs distributed either way —
+    the all-to-all only ever moves one row per (batch, tile), never points.
+
+    ``merge="driver"`` (default): the partials — bounded by the tile count,
+    not the point count — stream to the driver and merge in one NumPy pass
+    (the "small result" case; right up to millions of tiles).
+    ``merge="shuffle"``: ``groupby(z,x,y).map_groups`` + distributed sort —
+    the path for tile spaces too large to merge on one machine.
     """
     partials = matched_ds.map_batches(
         lambda b: tile_partials(b, zooms), batch_format="pyarrow"
     )
-    merged = partials.groupby(["z", "x", "y"]).map_groups(
-        merge_tile_partials, batch_format="pyarrow"
+    if merge == "shuffle":
+        merged = partials.groupby(["z", "x", "y"]).map_groups(
+            merge_tile_partials, batch_format="pyarrow"
+        )
+        return merged.map_batches(add_hilbert, batch_format="pyarrow").sort(["z", "hilbert"])
+
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    if not tabs:
+        return pa.table(
+            {
+                "z": pa.array([], pa.uint8()),
+                "x": pa.array([], pa.uint32()),
+                "y": pa.array([], pa.uint32()),
+                "n_points": pa.array([], pa.int64()),
+                "doc_ids_hash": pa.array([], pa.uint64()),
+                "hilbert": pa.array([], pa.uint64()),
+            }
+        )
+    t = pa.concat_tables(tabs)
+    z = np.asarray(t["z"], dtype=np.int64)
+    x = np.asarray(t["x"]).astype(np.uint64)
+    y = np.asarray(t["y"]).astype(np.uint64)
+    key = (z.astype(np.uint64) << np.uint64(58)) | (x << np.uint64(29)) | y
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    bounds = np.flatnonzero(np.concatenate(([True], key_s[1:] != key_s[:-1])))
+    n = np.asarray(t["n_points"], dtype=np.int64)[order]
+    d = np.asarray(t["doc_ids_hash"]).astype(np.uint64)[order]
+    with np.errstate(over="ignore"):
+        n_m = np.add.reduceat(n, bounds)
+        d_m = np.add.reduceat(d, bounds)
+    sel = order[bounds]
+    out = pa.table(
+        {
+            "z": pa.array(np.asarray(t["z"], dtype=np.uint8)[sel], pa.uint8()),
+            "x": pa.array(np.asarray(t["x"]).astype(np.uint32)[sel], pa.uint32()),
+            "y": pa.array(np.asarray(t["y"]).astype(np.uint32)[sel], pa.uint32()),
+            "n_points": pa.array(n_m, pa.int64()),
+            "doc_ids_hash": pa.array(d_m, pa.uint64()),
+        }
     )
-    return merged.map_batches(add_hilbert, batch_format="pyarrow").sort(["z", "hilbert"])
+    out = add_hilbert(out)
+    zz = np.asarray(out["z"], dtype=np.int64)
+    hh = np.asarray(out["hilbert"]).astype(np.uint64)
+    final_order = np.lexsort((hh, zz))
+    return out.take(pa.array(final_order))
