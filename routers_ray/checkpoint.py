@@ -273,10 +273,13 @@ def incremental_match(
             continue
         if action == "resume":
             # tail-cut: re-match only the known-overlap window + new points
-            # (Trip::tail, trip.rs:122-148); emit only genuinely new layers
+            # (Trip::tail, trip.rs:122-148). ALL re-matched layers are
+            # re-emitted — the MatchedDiff contract (event.rs:81-112): later
+            # solves may revise earlier window layers, and the revision
+            # merge keeps the newest per (doc, seq)
             first_new = n_overlap
             window_start = max(0, first_new - CONTEXT_WINDOW)
-            emit_from = first_new
+            emit_from = window_start
         else:
             window_start = 0
             emit_from = 0

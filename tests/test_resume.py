@@ -146,8 +146,12 @@ def test_incremental_revisions(world, tmp_path):
     )
     e2 = incremental_match(world["docs"], world["store"], state_dir, revision_epoch=3)
     ok2 = e2.filter(pa.compute.equal(e2["status"], "ok")).to_pandas()
+    from routers_ray.checkpoint import CONTEXT_WINDOW
+
     resumed = ok2[ok2["action"] == "resume"]
-    assert (resumed["seq"].to_numpy() >= resumed["doc_id"].map(v1_n).to_numpy()).all()
+    # re-emitted layers start no earlier than the tail-cut window
+    floor = (resumed["doc_id"].map(v1_n) - CONTEXT_WINDOW).clip(lower=0).to_numpy()
+    assert (resumed["seq"].to_numpy() >= floor).all()
     assert len(ok2) > 0
 
     merged = merge_revisions(pa.concat_tables([e1, e2])).to_pandas()
@@ -160,6 +164,45 @@ def test_incremental_revisions(world, tmp_path):
     got = set(map(tuple, got_ok[["doc_id", "seq"]].itertuples(index=False)))
     assert got == want
     assert got_ok.groupby(["doc_id", "seq"]).size().max() == 1
+
+
+def test_streaming_equals_batch(world, tmp_path):
+    """Reference ``tests/streaming.rs:66-86``: feeding points incrementally
+    and merging revisioned emissions equals the one-shot batch match, when
+    the context window covers the whole trajectory."""
+    import pandas as pd
+
+    import routers_ray.checkpoint as ck
+    from routers_ray.pipelines.match_pipeline import anchor_batch, get_store, match_batch
+    from routers_ray.matcher import MatchOptions
+    from routers_ray.spans import parse_trajectories
+
+    docs = world["docs"].slice(0, 6)
+    parsed = parse_trajectories(docs)
+    max_pts = max(parsed["n_pts"].to_pylist())
+
+    old_window = ck.CONTEXT_WINDOW
+    ck.CONTEXT_WINDOW = max_pts + 1
+    try:
+        state_dir = str(tmp_path / "stream_state")
+        emissions = []
+        for k in range(1, max_pts + 1):
+            vk = _truncate_docs(docs, k)
+            e = incremental_match(vk, world["store"], state_dir, revision_epoch=k)
+            if e is not None and len(e):
+                emissions.append(e)
+        merged = merge_revisions(pa.concat_tables(emissions)).to_pandas()
+    finally:
+        ck.CONTEXT_WINDOW = old_window
+
+    store = get_store(world["store"])
+    batch_in = anchor_batch(parsed, store.partition_zoom, None)
+    batch = match_batch(batch_in, store, MatchOptions(), keep_spans=False).to_pandas()
+
+    cols = ["doc_id", "seq", "edge_id", "dir", "src", "dst"]
+    a = merged[merged["status"] == "ok"][cols].sort_values(cols).reset_index(drop=True)
+    b = batch[batch["status"] == "ok"][cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a.astype("int64", errors="ignore"), b.astype("int64", errors="ignore"), check_dtype=False)
 
 
 def test_manifest_append_atomic(world, tmp_path):
