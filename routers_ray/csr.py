@@ -44,6 +44,23 @@ class CSRGraph:
     edge_dir: np.ndarray  # uint8 0=forward 1=reverse twin
     edge_accessible: np.ndarray  # bool
 
+    # Python-list mirrors of the hot arrays (built lazily): list indexing
+    # beats NumPy scalar indexing ~3× inside the Dijkstra loop
+    _l_indptr: list | None = None
+    _l_nbr: list | None = None
+    _l_w: list | None = None
+    _l_d: list | None = None
+    _l_acc: list | None = None
+
+    def _lists(self):
+        if self._l_indptr is None:
+            self._l_indptr = self.indptr.tolist()
+            self._l_nbr = self.nbr.tolist()
+            self._l_w = self.edge_weight.tolist()
+            self._l_d = self.edge_dist_cm.tolist()
+            self._l_acc = self.edge_accessible.tolist()
+        return self._l_indptr, self._l_nbr, self._l_w, self._l_d, self._l_acc
+
     def n_nodes(self) -> int:
         return int(self.node_ids.size)
 
@@ -146,38 +163,43 @@ def bounded_dijkstra(csr: CSRGraph, root: int, threshold_cm: float = DEFAULT_THR
     seen: set[int] = set()
     counter = 0
     heap: list[tuple[int, int, int]] = [(0, counter, root)]
-    indptr, nbr = csr.indptr, csr.nbr
-    e_w, e_d, e_acc = csr.edge_weight, csr.edge_dist_cm, csr.edge_accessible
+    indptr, nbr, e_w, e_d, e_acc = csr._lists()
+    umax = U32_MAX
+    push = heappush
+    pop = heappop
+    best_get = best.get
 
     while heap:
-        rep, _, node = heappop(heap)
+        rep, _, node = pop(heap)
         if node in seen:
             continue
         seen.add(node)
         _, num, den, dist = best[node]
-        if float(dist) >= threshold_cm:
+        if dist >= threshold_cm:
             break  # take_while: cut the whole stream
         dists[node] = dist
-        lo, hi = int(indptr[node]), int(indptr[node + 1])
-        for e in range(lo, hi):
+        for e in range(indptr[node], indptr[node + 1]):
             if not e_acc[e]:
                 continue
-            nxt = int(nbr[e])
+            nxt = nbr[e]
             if nxt in seen:
                 # parent pointers are captured at settle time (the reference
                 # collects the emitted item stream, dijkstra.rs:84-92) —
                 # never rewrite a settled node's parent
                 continue
-            n_num = num + int(e_w[e])
+            n_num = num + e_w[e]
             n_den = den + 1
-            n_dist = dist + int(e_d[e])
-            n_rep = _repr_u32(n_num, n_den, n_dist)
-            old = best.get(nxt)
+            n_dist = dist + e_d[e]
+            # inline WeightAndDistance::repr (weight_and_distance.rs:36-44)
+            avg = n_num // n_den
+            v = float(avg * avg) * float(n_dist)
+            n_rep = umax if v >= umax else int(v)
+            old = best_get(nxt)
             if old is None or old[0] > n_rep:
                 best[nxt] = (n_rep, n_num, n_den, n_dist)
                 parents[nxt] = node
                 counter += 1
-                heappush(heap, (n_rep, counter, nxt))
+                push(heap, (n_rep, counter, nxt))
     # keep only settled nodes (matches the reference's emitted stream)
     parents = {k: v for k, v in parents.items() if k in dists}
     return parents, dists

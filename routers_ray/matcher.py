@@ -433,7 +433,7 @@ class _TrajectoryContext:
             r = sl[reachable[sl]]
             if r.size:
                 mat[FI[r] - loff[b], TI[r] - loff[b + 1]] = cost[r]
-                t.fill_transition(b, mat)
+                t.fill_transition(b, mat, validate=False)
         return t
 
     def hop_geometry(self, li: int, si: int, lj: int, ti: int):

@@ -90,10 +90,11 @@ class Trellis:
             raise TrellisError("weight too large")
         self.node_weights[layer] = w
 
-    def fill_transition(self, boundary: int, matrix) -> None:
+    def fill_transition(self, boundary: int, matrix, validate: bool = True) -> None:
         m = np.asarray(matrix, dtype=np.int64).reshape(self.widths[boundary], self.widths[boundary + 1])
-        # only NO_EDGE may exceed MAX_WEIGHT (trellis.rs:274-276)
-        if np.any((m > MAX_WEIGHT) & (m != np.int64(int(NO_EDGE)))) or np.any(m < 0):
+        # only NO_EDGE may exceed MAX_WEIGHT (trellis.rs:274-276); the
+        # weigher's internal path skips the check (its costs are clamped)
+        if validate and (np.any((m > MAX_WEIGHT) & (m != np.int64(int(NO_EDGE)))) or np.any(m < 0)):
             raise TrellisError("weight too large")
         out = np.where(m == np.int64(int(NO_EDGE)), np.int64(INF_W), m)
         self.boundaries[boundary] = out
