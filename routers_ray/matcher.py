@@ -68,6 +68,7 @@ class MatchOptions:
     fanout: int | None = None  # None = AllCompute; k = Selective (selective.rs:20-89)
     drop_unanchored: bool = False  # streaming mode drops, batch mode rejects
     max_layers: int | None = None  # Trip::tail windowing bound
+    compute_convergence: bool = False  # report the safe stream-emit cut layer
 
 
 @dataclass
@@ -110,6 +111,7 @@ class MatchResult:
     layers: list[MatchedLayer]
     cost: int
     dropped_seqs: list[int] = field(default_factory=list)  # streaming-mode drops
+    converged_layer: int | None = None  # latest prefix-stable layer (viterbi.rs:164-247)
 
 
 def generate_layers(net: CellNetwork, lons, lats, opts: MatchOptions) -> list[Layer]:
@@ -539,6 +541,14 @@ def match_trajectory(net: CellNetwork, lons, lats, opts: MatchOptions | None = N
     except UnreachableError:
         raise MatchError("disconnected", frontier_collapse(trellis)) from None
 
+    conv: int | None = None
+    if opts.compute_convergence:
+        # the safe streaming emit/cut point — one extra forward pass
+        # (viterbi.rs:164-247; used at realtime/bin/matcher.rs:200-207)
+        from .trellis import convergence as _convergence
+
+        conv = _convergence(trellis)
+
     out: list[MatchedLayer] = []
     for k, (ly, ni) in enumerate(zip(layers, nodes)):
         row = int(ly.edge_rows[ni])
@@ -560,4 +570,4 @@ def match_trajectory(net: CellNetwork, lons, lats, opts: MatchOptions | None = N
                 hop_lats=hop_lats,
             )
         )
-    return MatchResult(layers=out, cost=int(cost), dropped_seqs=dropped)
+    return MatchResult(layers=out, cost=int(cost), dropped_seqs=dropped, converged_layer=conv)

@@ -115,6 +115,26 @@ def add_hilbert(batch: pa.Table) -> pa.Table:
     return batch.append_column("hilbert", pa.array(h, pa.uint64()))
 
 
+def encode_mvt_features(batch: pa.Table, z: int, lon_col="snap_lon", lat_col="snap_lat") -> pa.Table:
+    """Per-point MVT feature rows: tile key + zig-zag-encoded in-tile
+    geometry (``MVTFeature`` with extent 4096 and the ``(v<<1)^(v>>31)``
+    coordinate coding, ``routers_tiles/src/primitives/layer.rs:10-13,78-90``)."""
+    from .functions import zigzag_encode
+
+    lon = np.asarray(batch[lon_col], dtype=np.float64)
+    lat = np.asarray(batch[lat_col], dtype=np.float64)
+    x, y, px, py = project_to_tile(lon, lat, z)
+    return pa.table(
+        {
+            "z": pa.array(np.full(lon.size, z, dtype=np.uint8), pa.uint8()),
+            "x": pa.array(x, pa.uint32()),
+            "y": pa.array(y, pa.uint32()),
+            "zz_x": pa.array(zigzag_encode(px), pa.uint32()),
+            "zz_y": pa.array(zigzag_encode(py), pa.uint32()),
+        }
+    )
+
+
 def materialize_tiles(matched_ds, zooms: list[int], merge: str = "driver"):
     """Matched rows → tile table sorted by (z, hilbert).
 

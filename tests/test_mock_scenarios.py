@@ -119,6 +119,45 @@ def test_bent_road_full_match():
     assert seq_edges[-1] in {(4, 5), (5, 4)}
 
 
+def test_highway_preferred_over_offramp():
+    """matching.rs:120-152: the shorter direct highway beats a longer
+    offramp detour — node 5 never appears in the hop geometry."""
+    net = mock_net(
+        {
+            1: (-118.100, 34.150),
+            2: (-118.105, 34.150),
+            3: (-118.109, 34.149),
+            4: (-118.113, 34.148),
+            5: (-118.107, 34.146),
+        },
+        [(1, 2, True), (2, 3, True), (3, 4, True), (2, 5, False), (5, 4, False)],
+    )
+    res = match_trajectory(net, [-118.102, -118.111], [34.1503, 34.1488])
+    assert res.layers
+    # interpolated geometry must not pass through node 5's position
+    for ml in res.layers:
+        for x, y in zip(ml.hop_lons, ml.hop_lats):
+            assert not (abs(x - -118.107) < 1e-9 and abs(y - 34.146) < 1e-9), (
+                "offramp detour node (5) must not appear"
+            )
+        assert 5 not in (ml.src, ml.dst)
+
+
+def test_follows_turn_at_junction():
+    """matching.rs:155-186: trip momentum beats the closer straight
+    candidate when the GPS turns north at the junction."""
+    net = mock_net(
+        {1: (-118.10, 34.15), 2: (-118.13, 34.15), 3: (-118.13, 34.18), 4: (-118.16, 34.15)},
+        [(1, 2, True), (2, 3, True), (2, 4, True)],
+    )
+    lons = [-118.101, -118.111, -118.121, -118.1297, -118.1297, -118.1297]
+    lats = [34.1503, 34.1503, 34.1503, 34.1503, 34.153, 34.163]
+    res = match_trajectory(net, lons, lats)
+    # the final points ride the north branch (2↔3), not the west one
+    assert (res.layers[-1].src, res.layers[-1].dst) in {(2, 3), (3, 2)}
+    assert 4 not in (res.layers[-1].src, res.layers[-1].dst)
+
+
 def test_unanchored_batch_reject_lists_layers():
     """entity.rs:166-193: batch mode rejects listing every unanchored point."""
     net = straight_road()
@@ -193,3 +232,14 @@ def test_streaming_equals_batch():
     assert [(m.src, m.dst) for m in prefix.layers[:2]] == [
         (m.src, m.dst) for m in full.layers[:2]
     ]
+
+
+def test_convergence_reported():
+    """viterbi.rs:164-247 via MatchOptions.compute_convergence: the bent
+    road's unambiguous trajectory converges at (or before) the last layer."""
+    net = bent_road()
+    res = match_trajectory(
+        net, BENT_LONS, BENT_LATS, MatchOptions(compute_convergence=True)
+    )
+    assert res.converged_layer is not None
+    assert 0 <= res.converged_layer <= len(BENT_LONS) - 1

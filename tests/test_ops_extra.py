@@ -188,3 +188,25 @@ class TestMedia:
         f1 = np.asarray(out2["features"].to_pylist())
         out3 = MediaFeatureExtractor()(media)
         assert np.array_equal(f1, np.asarray(out3["features"].to_pylist()))
+
+
+class TestMVT:
+    def test_feature_encoding_roundtrip(self):
+        from routers_ray.functions import zigzag_decode
+        from routers_ray.tiles import MVT_EXTENT, encode_mvt_features, project_to_tile
+
+        t = pa.table(
+            {
+                "snap_lon": pa.array([151.2094, -118.25]),
+                "snap_lat": pa.array([-33.8688, 34.05]),
+            }
+        )
+        out = encode_mvt_features(t, z=14)
+        assert out["z"].to_pylist() == [14, 14]
+        px = zigzag_decode(np.asarray(out["zz_x"]).astype(np.uint32))
+        py = zigzag_decode(np.asarray(out["zz_y"]).astype(np.uint32))
+        assert ((0 <= px) & (px < MVT_EXTENT)).all()
+        assert ((0 <= py) & (py < MVT_EXTENT)).all()
+        ex, ey, epx, epy = project_to_tile([151.2094, -118.25], [-33.8688, 34.05], 14)
+        assert (px == epx).all() and (py == epy).all()
+        assert (np.asarray(out["x"]) == ex).all()
