@@ -956,6 +956,199 @@ def q_match_tiles(sf_dir: str):
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# round-1 additions: timezone, sessionization, embedding dups, n-gram jaccard
+
+
+def q_timezone(sf_dir: str):
+    """Point→timezone via the prebuilt cell table (actor-pool lookup,
+    ``routers_tz`` S2-cell index shape): per-band event counts."""
+    import ray.data as rd
+
+    from ..timezone import timezone_of
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _pts(b: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(np.asarray(b["event_id"]))
+        return pa.table({"lon": pa.array(lon, pa.float64()), "lat": pa.array(lat, pa.float64())})
+
+    tz = timezone_of(ds.map_batches(_pts, batch_format="pyarrow"))
+    out = tz.groupby(["tz_band", "tz_name"]).count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["tz_band", "tz_name", "n"]), batch_format="pyarrow"
+    )
+
+
+def sql_timezone() -> str:
+    # band from the zoom-7 cell center longitude — exactly the table the
+    # actor builds (both formulas are exact dyadic arithmetic)
+    return f"""
+    WITH pts AS ({SQL_EVENT_PTS}),
+    c AS (
+      SELECT CAST(floor((lon + 180.0)/360.0*128.0) AS BIGINT) AS x FROM pts
+    ),
+    b AS (
+      SELECT CAST(floor((((CAST(x AS DOUBLE)+0.5)/128.0*360.0 - 180.0) + 187.5)/15.0) AS BIGINT) % 24 AS tz_band
+      FROM c
+    )
+    SELECT tz_band,
+           CASE WHEN tz_band = 12 THEN 'Etc/GMT'
+                WHEN tz_band > 12 THEN concat('Etc/GMT-', CAST(tz_band - 12 AS VARCHAR))
+                ELSE concat('Etc/GMT+', CAST(12 - tz_band AS VARCHAR)) END AS tz_name,
+           COUNT(*) AS n
+    FROM b GROUP BY 1, 2
+    """
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based session windows per user (30 min), the streaming-shaped
+    per-key ordered aggregation: (user, session) → count + duration."""
+    import pandas as pd
+    import ray.data as rd
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy()
+        newsess = np.concatenate(([1], (np.diff(ts) > GAP_US).astype(np.int64)))
+        sid = np.cumsum(newsess)
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session": sid, "ts": ts})
+        agg = df.groupby(["user_id", "session"], as_index=False).agg(
+            n_events=("ts", "size"), dur_us=("ts", lambda x: int(x.max() - x.min()))
+        )
+        return agg
+
+    return ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+
+
+def sql_sessionize() -> str:
+    return """
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts_us,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM seq
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session
+      FROM marked
+    )
+    SELECT user_id, CAST(session AS BIGINT) AS session, COUNT(*) AS n_events,
+           CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS dur_us
+    FROM sess GROUP BY user_id, session
+    """
+
+
+def q_embed_dups(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (threshold 0.95, a < b) — the
+    embedding leg of the dedup suite. Partial pairs per batch against the
+    broadcast full matrix (upper triangle by id)."""
+    import ray.data as rd
+
+    from ..sim import _stack_embeddings
+
+    full = papq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    all_ids = np.asarray(full["vec_id"], dtype=np.int64)
+    order = np.argsort(all_ids)
+    all_ids = all_ids[order]
+    all_vecs = _stack_embeddings(full["embedding"])[order]
+    norms = np.linalg.norm(all_vecs, axis=1)
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["vec_id"], dtype=np.int64)
+        vecs = _stack_embeddings(b["embedding"])
+        vn = np.linalg.norm(vecs, axis=1)
+        sims = (vecs @ all_vecs.T) / np.maximum(vn[:, None] * norms[None, :], 1e-300)
+        sims = np.floor(sims * 1e6 + 0.5) / 1e6
+        aa, bb = np.nonzero((sims >= 0.95) & (ids[:, None] < all_ids[None, :]))
+        return pa.table(
+            {
+                "id_a": pa.array(ids[aa], pa.int64()),
+                "id_b": pa.array(all_ids[bb], pa.int64()),
+                "sim": pa.array(sims[aa, bb], pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(_pairs, batch_format="pyarrow")
+    # collect with the schema pinned: an empty pair set must still present
+    # its columns to the comparator
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("sim", pa.float64())])
+    tabs = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in out.iter_batches(batch_format="pyarrow")
+    ]
+    tabs = [t.cast(schema) for t in tabs if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else schema.empty_table()
+
+
+def sql_embed_dups() -> str:
+    return """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))*1000000 + 0.5)/1000000 AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))*1000000 + 0.5)/1000000 >= 0.95
+    """
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Token-set Jaccard of consecutive doc pairs (id, id+1) — the exact
+    n-gram-overlap verification kernel of the near-dup suite, SQL-checkable."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _tok(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()), "text": b["text"]})
+
+    tbl = pa.concat_tables(
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in ds.map_batches(_tok, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    texts = np.asarray(tbl["text"].to_pylist(), dtype=object)[order]
+    tok_sets = [set((t or '').split(' ')) for t in texts]  # single-space split, matching SQL string_split
+    id_pos = {int(i): k for k, i in enumerate(ids)}
+    out_a, out_j = [], []
+    for i in ids.tolist():
+        j = id_pos.get(i + 1)
+        if j is None:
+            continue
+        sa, sb = tok_sets[id_pos[i]], tok_sets[j]
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        jac = inter / union if union else 1.0
+        out_a.append(i)
+        out_j.append(float(np.floor(jac * 1e6 + 0.5) / 1e6))
+    return pa.table({"doc_id": pa.array(out_a, pa.int64()), "jaccard": pa.array(out_j, pa.float64())})
+
+
+def sql_ngram_jaccard() -> str:
+    return r"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+    )
+    SELECT a.doc_id AS doc_id,
+           floor(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) * 1000000 + 0.5)/1000000 AS jaccard
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -988,4 +1181,8 @@ def registry() -> dict[str, tuple]:
         "media_features": (q_media_features, None),
         "match": (q_match, None),
         "match_tiles": (q_match_tiles, None),
+        "timezone": (q_timezone, sql_timezone()),
+        "sessionize": (q_sessionize, sql_sessionize()),
+        "embed_dups": (q_embed_dups, sql_embed_dups()),
+        "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
     }
