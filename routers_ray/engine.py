@@ -1,0 +1,82 @@
+"""The user-facing engine facade — the reference's service surface
+(`Match`, `Snap`, `Scan`, `Timezone` ConnectRPC services,
+``schema/proto/routers/api/**``) re-expressed as Dataset→Dataset calls.
+
+A user of the reference switches like so::
+
+    eng = Engine(store_path)               # ≙ matcher service boot w/ shard
+    matched = eng.match(docs_ds)           # ≙ MatchService::Match
+    snapped = eng.snap(points_ds)          # ≙ MatchService::Snap
+    cands   = eng.scan(points_ds)          # ≙ ScanService::Edge
+    tz      = eng.timezone(points_ds)      # ≙ TimezoneService
+    tiles   = eng.tiles(matched_ok_ds)     # tile materialization
+    clusters= eng.cluster(points_ds)       # DBSCAN clustering
+
+Every call is lazy (returns a Dataset or a small Arrow table) and safe to
+compose with further Dataset ops; stateful stages run as actor pools sized
+by ``concurrency``.
+"""
+
+from __future__ import annotations
+
+from .matcher import MatchOptions
+
+
+class Engine:
+    def __init__(self, store_path: str, options: MatchOptions | None = None, concurrency=4):
+        self.store_path = store_path
+        self.options = options or MatchOptions()
+        self.concurrency = concurrency
+
+    def match(self, docs_ds, **kwargs):
+        """Viterbi map-match of interleaved docs (status column carries the
+        MatchError taxonomy)."""
+        from .pipelines.match_pipeline import match_documents
+
+        kwargs.setdefault("concurrency", self.concurrency)
+        return match_documents(docs_ds, self.store_path, self.options, **kwargs)
+
+    def match_ok(self, docs_ds, **kwargs):
+        from .pipelines.match_pipeline import matched_ok
+
+        return matched_ok(self.match(docs_ds, **kwargs))
+
+    def snap(self, points_ds, radius_m: float | None = None):
+        from .pipelines.snap_pipeline import snap_points
+
+        return snap_points(
+            points_ds,
+            self.store_path,
+            radius_m or self.options.search_distance_m,
+            concurrency=self.concurrency,
+        )
+
+    def scan(self, points_ds, radius_m: float | None = None):
+        from .pipelines.snap_pipeline import scan_edges
+
+        return scan_edges(
+            points_ds,
+            self.store_path,
+            radius_m or self.options.search_distance_m,
+            concurrency=self.concurrency,
+        )
+
+    def timezone(self, points_ds):
+        from .timezone import timezone_of
+
+        return timezone_of(points_ds, concurrency=self.concurrency)
+
+    def tiles(self, matched_ok_ds, zooms=(10, 13, 15), merge: str = "driver"):
+        from .tiles import materialize_tiles
+
+        return materialize_tiles(matched_ok_ds, list(zooms), merge=merge)
+
+    def cluster(self, points_ds, cell_zoom: int = 10, eps_m: float = 200.0):
+        from .cluster import cluster_points
+
+        return cluster_points(points_ds, cell_zoom=cell_zoom, eps_m=eps_m)
+
+    def run_checkpointed(self, docs_ds, out_dir: str, **kwargs):
+        from .checkpoint import run_checkpointed
+
+        return run_checkpointed(docs_ds, self.store_path, out_dir, self.options, **kwargs)

@@ -198,6 +198,14 @@ def match_batch(
             o_slon.append(None), o_slat.append(None), o_cost.append(None), o_cell.append(None)
             o_hop.append(None), o_err.append([int(x) for x in e.layers]), o_span_row.append(i)
             continue
+        except Exception:  # poison-pill tolerance: one bad doc must not
+            # kill the partition (the reference acks poison messages away,
+            # orchestrator.rs:117-131) — surfaced as an "internal" error row
+            o_doc.append(doc_ids[i]), o_seq.append(-1), o_status.append("internal")
+            o_eid.append(None), o_dir.append(None), o_src.append(None), o_dst.append(None)
+            o_slon.append(None), o_slat.append(None), o_cost.append(None), o_cell.append(None)
+            o_hop.append(None), o_err.append([]), o_span_row.append(i)
+            continue
         cells_out = lonlat_to_cell(
             np.asarray([m.snap_lon for m in res.layers]),
             np.asarray([m.snap_lat for m in res.layers]),

@@ -202,6 +202,64 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(np.asarray(vals, dtype=np.uint64), pa.uint64()))
 
 
+def simhash_pairs(ds, text_col: str = "text", max_hamming: int = 3, bands: int = 4):
+    """SimHash near-dup pairs: 16-bit band LSH (any of ``bands`` equal bands
+    → candidate, pigeonhole-complete for hamming ≤ bands−1) verified by
+    exact Hamming distance ≤ ``max_hamming``. Returns (doc_a, doc_b,
+    hamming)."""
+    import pandas as pd
+
+    def _bands(b: pa.Table) -> pa.Table:
+        out = simhash_batch(b, text_col)
+        sh = np.asarray(out["simhash"]).astype(np.uint64)
+        ids = np.asarray(pa.compute.cast(out["doc_id"], pa.int64()))
+        rows_id, rows_band, rows_key, rows_sh = [], [], [], []
+        width = 64 // bands
+        mask = np.uint64((1 << width) - 1)
+        for k in range(bands):
+            rows_id.append(ids)
+            rows_band.append(np.full(ids.size, k, dtype=np.int32))
+            rows_key.append((sh >> np.uint64(k * width)) & mask)
+            rows_sh.append(sh)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(rows_id), pa.int64()),
+                "band": pa.array(np.concatenate(rows_band), pa.int32()),
+                "band_key": pa.array(np.concatenate(rows_key), pa.uint64()),
+                "simhash": pa.array(np.concatenate(rows_sh), pa.uint64()),
+            }
+        )
+
+    band_rows = ds.map_batches(_bands, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        if ids.size < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        a, b, h = [], [], []
+        for i in range(ids.size):
+            x = sh[i] ^ sh[i + 1 :]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            hit = np.flatnonzero(ham <= max_hamming)
+            for j in hit:
+                a.append(int(ids[i])), b.append(int(ids[i + 1 + j])), h.append(int(ham[j]))
+        return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": h})
+
+    pairs = band_rows.groupby(["band", "band_key"]).map_groups(_pairs, batch_format="pandas")
+    pdf = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_a": pa.array(pdf["doc_a"].astype("int64"), pa.int64()),
+            "doc_b": pa.array(pdf["doc_b"].astype("int64"), pa.int64()),
+            "hamming": pa.array(pdf["hamming"].astype("int64"), pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # dataset-level pipelines
 

@@ -1,0 +1,168 @@
+"""Dedup suite behavior tests with planted duplicates: exact, MinHash-LSH,
+SimHash Hamming pairs, timezone stage, engine facade, poison tolerance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from routers_ray.text import (
+    dedup_exact,
+    dedup_minhash,
+    jaccard,
+    minhash_signature,
+    simhash64,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain falls softly on rooftops "
+    "and the city sleeps under a gray morning sky with distant traffic humming along"
+)
+
+
+def docs_with_dups():
+    near = BASE.replace("gray morning", "pale morning")  # tiny edit
+    far = "completely different content about database engines and shuffle strategies"
+    rows = [
+        {"doc_id": 1, "text": BASE},
+        {"doc_id": 2, "text": BASE},  # exact dup of 1
+        {"doc_id": 3, "text": near},  # near dup of 1
+        {"doc_id": 4, "text": far},
+        {"doc_id": 5, "text": far + " with extra trailing words"},
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    import ray.data as rd
+
+    out = dedup_exact(rd.from_arrow(docs_with_dups())).to_pandas()
+    assert len(out) == 4  # 1&2 collapse
+    kept = set(out["doc_id"])
+    assert 1 in kept and 2 not in kept
+
+
+def test_minhash_finds_planted_near_dup(ray_session):
+    import ray.data as rd
+
+    out = dedup_minhash(rd.from_arrow(docs_with_dups()), threshold=0.5).to_pandas()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (1, 2) in pairs  # exact dup
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_similarity_estimate():
+    s1 = minhash_signature(BASE)
+    s2 = minhash_signature(BASE.replace("gray morning", "pale morning"))
+    s3 = minhash_signature("unrelated words entirely disjoint content")
+    est12 = (s1 == s2).mean()
+    est13 = (s1 == s3).mean()
+    true12 = jaccard(BASE, BASE.replace("gray morning", "pale morning"))
+    assert abs(est12 - true12) < 0.25
+    assert est13 < 0.1 < est12
+
+
+def test_simhash_locality():
+    h1 = simhash64(BASE)
+    h2 = simhash64(BASE.replace("gray morning", "pale morning"))
+    h3 = simhash64("unrelated words entirely disjoint content")
+    ham12 = bin(h1 ^ h2).count("1")
+    ham13 = bin(h1 ^ h3).count("1")
+    assert ham12 < ham13
+    assert ham12 <= 10
+
+
+def test_simhash_pairs_pipeline(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 1, "text": BASE},
+        {"doc_id": 2, "text": BASE},  # hamming 0
+        {"doc_id": 3, "text": "totally different text about nothing similar at all"},
+    ]
+    out = simhash_pairs(rd.from_arrow(pa.Table.from_pylist(rows)), max_hamming=3).to_pandas()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_timezone_bands(ray_session):
+    import ray.data as rd
+
+    from routers_ray.timezone import timezone_of
+
+    t = pa.table(
+        {
+            "lon": pa.array([0.5, -74.0, 151.2]),  # GMT, New York-ish, Sydney-ish
+            "lat": pa.array([51.5, 40.7, -33.9]),
+        }
+    )
+    out = timezone_of(rd.from_arrow(t)).to_pandas()
+    assert out["tz_name"].tolist()[0] == "Etc/GMT"
+    # -74° → band floor((-74+187.5)/15)=7 → GMT+5; 151.2° → band 22 → GMT-10
+    assert out["tz_name"].tolist()[1] == "Etc/GMT+5"
+    assert out["tz_name"].tolist()[2] == "Etc/GMT-10"
+
+
+def test_engine_facade(tmp_path, ray_session):
+    import ray.data as rd
+
+    from routers_ray.engine import Engine
+    from routers_ray.network import build_network_store, synth_network
+    from routers_ray.synth import synth_corpus, write_corpus
+
+    nodes, edges = synth_network(seed=42, n_cities=1, grid=(6, 6))
+    store = str(tmp_path / "store")
+    build_network_store(nodes, edges, store, use_ray=False)
+    docs = synth_corpus(n_docs=10, seed=42, network=(nodes, edges))
+    paths = write_corpus(docs, str(tmp_path / "corpus"))
+
+    eng = Engine(store, concurrency=2)
+    ok = eng.match_ok(rd.read_parquet(paths["parquet"]), batch_size=8)
+    n_ok = ok.count()
+    assert n_ok > 0
+    tiles = eng.tiles(ok, zooms=(10,))
+    assert tiles.num_rows >= 1
+    pts = rd.from_arrow(
+        pa.table({"lon": pa.array([float(np.asarray(nodes["lon"]).mean())]),
+                  "lat": pa.array([float(np.asarray(nodes["lat"]).mean())])})
+    )
+    snapped = eng.snap(pts).to_pandas()
+    assert snapped["edge_id"].iloc[0] >= 0
+    tz = eng.timezone(pts).to_pandas()
+    assert tz["tz_band"].iloc[0] >= 0
+
+
+def test_internal_error_rows_do_not_kill_batch(monkeypatch):
+    """Poison-pill tolerance: an unexpected exception in one doc surfaces as
+    an 'internal' error row; the rest of the batch still matches."""
+    import routers_ray.pipelines.match_pipeline as mp
+    from routers_ray.matcher import MatchOptions
+    from routers_ray.network import build_network_store, synth_network
+    from routers_ray.spans import parse_trajectories
+    from routers_ray.synth import synth_corpus
+    import tempfile
+
+    nodes, edges = synth_network(seed=42, n_cities=1, grid=(6, 6))
+    d = tempfile.mkdtemp()
+    build_network_store(nodes, edges, d, use_ray=False)
+    docs = synth_corpus(n_docs=4, seed=42, network=(nodes, edges))
+    store = mp.get_store(d)
+    parsed = parse_trajectories(docs)
+
+    real = mp.match_trajectory
+    victim = docs["doc_id"][1].as_py()
+    calls = {"n": 0}
+
+    def boom(net, ll, la, opts):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second doc explodes
+            raise RuntimeError("poison")
+        return real(net, ll, la, opts)
+
+    monkeypatch.setattr(mp, "match_trajectory", boom)
+    out = mp.match_batch(parsed, store, MatchOptions(), keep_spans=False).to_pandas()
+    internal = out[out["status"] == "internal"]
+    assert len(internal) == 1 and internal["doc_id"].iloc[0] == victim
+    assert (out["status"] == "ok").sum() > 0
