@@ -205,6 +205,48 @@ def bounded_dijkstra(csr: CSRGraph, root: int, threshold_cm: float = DEFAULT_THR
     return parents, dists
 
 
+def route_nodes(csr: CSRGraph, start: int, finish: int) -> tuple[int, list[int]] | None:
+    """Minimum edge-weight route start→finish (node indices) — the
+    reference's ``route_nodes``: A* with a zero heuristic over the
+    road-class ``Weight`` (``osm/graph.rs:365-384``). Returns
+    (total_weight, node index path) or None when unreachable. Inaccessible
+    edges are skipped."""
+    if start == finish:
+        return 0, [start]
+    indptr, nbr, e_w, _e_d, e_acc = csr._lists()
+    best = {start: 0}
+    parents: dict[int, int] = {}
+    seen: set[int] = set()
+    counter = 0
+    heap = [(0, 0, start)]
+    while heap:
+        cost, _, node = heappop(heap)
+        if node in seen:
+            continue
+        seen.add(node)
+        if node == finish:
+            path = [node]
+            while node != start:
+                node = parents[node]
+                path.append(node)
+            path.reverse()
+            return cost, path
+        for e in range(indptr[node], indptr[node + 1]):
+            if not e_acc[e]:
+                continue
+            nxt = nbr[e]
+            if nxt in seen:
+                continue
+            nc = cost + e_w[e]
+            old = best.get(nxt)
+            if old is None or old > nc:
+                best[nxt] = nc
+                parents[nxt] = node
+                counter += 1
+                heappush(heap, (nc, counter, nxt))
+    return None
+
+
 def parent_path(parents: dict[int, int], root: int, leaf: int) -> list[int] | None:
     """Nodes root→leaf inclusive via parent pointers, or None if unreachable
     (``weigh/expansion.rs:17-39``)."""

@@ -61,6 +61,13 @@ class Engine:
             concurrency=self.concurrency,
         )
 
+    def route(self, pairs_ds, buffer_m: float = 5_000.0):
+        """OptimiseService::Route: per-row (start_lon, start_lat, end_lon,
+        end_lat) → cost + shape."""
+        from .pipelines.route_pipeline import route_pairs
+
+        return route_pairs(pairs_ds, self.store_path, concurrency=self.concurrency, buffer_m=buffer_m)
+
     def timezone(self, points_ds):
         from .timezone import timezone_of
 

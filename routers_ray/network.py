@@ -455,6 +455,32 @@ class CellNetwork:
         offsets = np.cumsum(offsets)
         return offsets, rows, frac, px, py, dist
 
+    def nearest_node(self, lon: float, lat: float) -> int | None:
+        """Nearest node index by haversine — ``Scan::nearest_node``
+        (``routers_network/src/traits/scan.rs:11``). Vectorized brute over
+        the cell-set's node table (cell-local populations keep it small)."""
+        if self.csr.n_nodes() == 0:
+            return None
+        d = haversine_m(self.csr.node_lon, self.csr.node_lat, lon, lat)
+        return int(np.argmin(d))
+
+    def route_points(self, s_lon: float, s_lat: float, t_lon: float, t_lat: float):
+        """Point-to-point route — ``Route::route_points``
+        (``traits/route.rs:21-30``): nearest node each end, then the
+        weight-cost Dijkstra. Returns (cost, lons, lats, node_ids) or None."""
+        from .csr import route_nodes
+
+        a = self.nearest_node(s_lon, s_lat)
+        b = self.nearest_node(t_lon, t_lat)
+        if a is None or b is None:
+            return None
+        hit = route_nodes(self.csr, a, b)
+        if hit is None:
+            return None
+        cost, path = hit
+        idx = np.asarray(path, dtype=np.int64)
+        return cost, self.csr.node_lon[idx], self.csr.node_lat[idx], self.csr.node_ids[idx]
+
     def nearest_edge(self, lon: float, lat: float, distance_m: float | None = None):
         """1-NN snap: the closest projected candidate (``Scan``/proximity
         service semantics, ``routers_rpc/src/services/proximity.rs``).

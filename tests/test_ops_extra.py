@@ -210,3 +210,77 @@ class TestMVT:
         ex, ey, epx, epy = project_to_tile([151.2094, -118.25], [-33.8688, 34.05], 14)
         assert (px == epx).all() and (py == epy).all()
         assert (np.asarray(out["x"]) == ex).all()
+
+
+class TestRoute:
+    def test_route_points_structural(self, ray_session, tmp_path_factory):
+        """Route service: weight-cost Dijkstra (osm/graph.rs:365-384) —
+        endpoints snap to nearest nodes, consecutive hops are real edges,
+        reported cost equals the sum of traversed edge weights."""
+        import ray.data as rd
+
+        from routers_ray.csr import route_nodes
+        from routers_ray.network import build_network_store, synth_network
+        from routers_ray.pipelines.match_pipeline import get_store
+        from routers_ray.pipelines.route_pipeline import route_pairs
+
+        d = str(tmp_path_factory.mktemp("routestore"))
+        nodes, edges = synth_network(seed=42, n_cities=1, grid=(8, 8))
+        build_network_store(nodes, edges, d, use_ray=False)
+        lons = np.asarray(nodes["lon"])
+        lats = np.asarray(nodes["lat"])
+        i_a, i_b = 0, len(lons) - 1  # opposite grid corners
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "start_lon": pa.array([lons[i_a]]),
+                    "start_lat": pa.array([lats[i_a]]),
+                    "end_lon": pa.array([lons[i_b]]),
+                    "end_lat": pa.array([lats[i_b]]),
+                }
+            )
+        )
+        out = route_pairs(ds, d).to_pandas()
+        assert out["cost"].notna().all()
+        shape = out["shape"].iloc[0]
+        assert len(shape) == out["n_hops"].iloc[0] >= 2
+        # endpoints are the snapped nodes
+        assert abs(shape[0]["lon"] - lons[i_a]) < 1e-9
+        assert abs(shape[-1]["lon"] - lons[i_b]) < 1e-9
+
+        # cost consistency against the in-memory kernel
+        store = get_store(d)
+        net = store.network_for_bbox(lons.min(), lats.min(), lons.max(), lats.max(), buffer_m=3000)
+        a = net.nearest_node(float(lons[i_a]), float(lats[i_a]))
+        b = net.nearest_node(float(lons[i_b]), float(lats[i_b]))
+        cost, path = route_nodes(net.csr, a, b)
+        assert cost == out["cost"].iloc[0]
+        # recompute cost by walking the path edges
+        total = 0
+        for u, v in zip(path[:-1], path[1:]):
+            e = net.csr.edge_between(u, v)
+            assert e >= 0, "route hop must be a real directed edge"
+            total += int(net.csr.edge_weight[e])
+        assert total == cost
+
+    def test_route_unreachable_is_null(self, ray_session, tmp_path_factory):
+        import ray.data as rd
+
+        from routers_ray.network import build_network_store, synth_network
+        from routers_ray.pipelines.route_pipeline import route_pairs
+
+        d = str(tmp_path_factory.mktemp("routestore2"))
+        nodes, edges = synth_network(seed=42, n_cities=1, grid=(4, 4))
+        build_network_store(nodes, edges, d, use_ray=False)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "start_lon": pa.array([0.0]),  # far from any network cell
+                    "start_lat": pa.array([0.0]),
+                    "end_lon": pa.array([1.0]),
+                    "end_lat": pa.array([1.0]),
+                }
+            )
+        )
+        out = route_pairs(ds, d).to_pandas()
+        assert out["cost"].isna().all() or (out["n_hops"] == 0).all()
