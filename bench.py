@@ -119,6 +119,22 @@ def run_bench() -> dict:
     # matched docs/sec (docs fully matched, the BASELINE.json metric)
     n_ok_docs = ok.groupby("doc_id").count().count()
 
+    # checkpoint/resume overhead: cold checkpointed run vs manifest-hit rerun
+    import ray.data as _rd
+
+    from routers_ray.checkpoint import run_checkpointed
+
+    ck_dir = os.path.join("/tmp", f"routers_ray_bench_ck_{NUM_CPUS}")
+    shutil.rmtree(ck_dir, ignore_errors=True)
+    small = _rd.read_parquet(os.path.join(world, "corpus", "documents.parquet")).limit(500)
+    t0 = time.perf_counter()
+    run_checkpointed(small, os.path.join(world, "netstore"), ck_dir, keep_spans=False)
+    timings["checkpoint_cold"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    stats = run_checkpointed(small, os.path.join(world, "netstore"), ck_dir, keep_spans=False)
+    timings["checkpoint_resume"] = round(time.perf_counter() - t0, 3)
+    assert stats["computed"] == 0, "manifest-hit rerun must recompute nothing"
+
     # representative query timings over the sf tables
     from routers_ray.pipelines.queries import registry
 
