@@ -90,6 +90,8 @@ def compute_salts(ds, target_docs_per_salt: int = 2000) -> dict[int, int]:
     urban hotspots) get ⌈count/target⌉ salts. The result broadcasts to the
     anchor stage (driver-side dict — one row per populated cell)."""
     counts = ds.groupby("anchor_cell").count().to_pandas()
+    if len(counts) == 0 or "anchor_cell" not in counts.columns:
+        return {}
     return {
         int(c): max(1, int(np.ceil(n / target_docs_per_salt)))
         for c, n in zip(counts["anchor_cell"], counts["count()"])

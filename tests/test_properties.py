@@ -1,0 +1,141 @@
+"""Property / robustness tests: index-vs-brute equivalence on pseudo-random
+points (reference ``primitive/index.rs:129-203``), hypothesis round-trips,
+degenerate pipeline inputs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from routers_ray import cells, geo
+from routers_ray.matcher import MatchOptions, match_trajectory
+from routers_ray.network import CellNetwork, build_network_store, fatten_edges, synth_network
+from routers_ray.spans import DOCS_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def net_world():
+    nodes, edges = synth_network(seed=7, n_cities=1, grid=(10, 10))
+    fat = fatten_edges(nodes, edges)
+    return nodes, edges, CellNetwork.from_edge_rows(fat), fat
+
+
+def test_candidate_index_matches_bruteforce_2000_points(net_world):
+    """Cell-binned candidate search ≡ brute-force square-box scan over all
+    edges, for 2000 pseudo-random points (reference R-tree equivalence
+    test, ``index.rs:129-203``)."""
+    nodes, edges, net, fat = net_world
+    rng = np.random.default_rng(123)
+    lon0 = float(np.asarray(nodes["lon"]).mean())
+    lat0 = float(np.asarray(nodes["lat"]).mean())
+    qlon = lon0 + rng.uniform(-0.008, 0.008, 2000)
+    qlat = lat0 + rng.uniform(-0.008, 0.008, 2000)
+
+    ax, ay = np.asarray(fat["ax"]), np.asarray(fat["ay"])
+    bx, by = np.asarray(fat["bx"]), np.asarray(fat["by"])
+    lo_x, hi_x = np.minimum(ax, bx), np.maximum(ax, bx)
+    lo_y, hi_y = np.minimum(ay, by), np.maximum(ay, by)
+    eid = np.asarray(fat["edge_id"])
+    edir = np.asarray(fat["dir"])
+
+    offsets, rows, frac, px, py, dist = net.candidates_batch(qlon, qlat, 50.0)
+    for i in range(2000):
+        got = {(int(net.edge_id[r]), int(net.dir[r])) for r in rows[offsets[i] : offsets[i + 1]]}
+        # brute: square box via the same destination math
+        _, north = geo.destination(qlon[i], qlat[i], 0.0, 50.0)
+        east, _ = geo.destination(qlon[i], qlat[i], 90.0, 50.0)
+        _, south = geo.destination(qlon[i], qlat[i], 180.0, 50.0)
+        west, _ = geo.destination(qlon[i], qlat[i], 270.0, 50.0)
+        hit = (hi_x >= west) & (lo_x <= east) & (hi_y >= south) & (lo_y <= north)
+        want = {(int(a), int(b)) for a, b in zip(eid[hit], edir[hit])}
+        assert got == want, f"point {i}: index={got} brute={want}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lon=st.floats(-179.99, 179.99),
+    lat=st.floats(-84.9, 84.9),
+    z=st.integers(1, 20),
+)
+def test_cell_roundtrip_property(lon, lat, z):
+    c = cells.lonlat_to_cell(lon, lat, z)
+    x, y, zz = cells.cell_decode(c)
+    assert int(zz) == z
+    w, s, e, n = cells.tile_bounds(int(x), int(y), z)
+    assert w - 1e-9 <= lon <= e + 1e-9
+    # the clamped-latitude cell still contains the (clamped) point
+    lat_c = min(max(lat, -85.05112878), 85.05112878)
+    assert s - 1e-7 <= lat_c <= n + 1e-7
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    lon1=st.floats(-179, 179), lat1=st.floats(-84, 84),
+    lon2=st.floats(-179, 179), lat2=st.floats(-84, 84),
+)
+def test_haversine_metric_properties(lon1, lat1, lon2, lat2):
+    d12 = float(geo.haversine_m(lon1, lat1, lon2, lat2))
+    d21 = float(geo.haversine_m(lon2, lat2, lon1, lat1))
+    assert d12 == pytest.approx(d21, rel=1e-12, abs=1e-9)  # symmetry
+    assert d12 >= 0.0
+    assert float(geo.haversine_m(lon1, lat1, lon1, lat1)) == 0.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(v=st.integers(-(2**31), 2**31 - 1))
+def test_zigzag_roundtrip_property(v):
+    from routers_ray.functions import zigzag_decode, zigzag_encode
+
+    arr = np.array([v], dtype=np.int32)
+    assert int(zigzag_decode(zigzag_encode(arr))[0]) == v
+
+
+@settings(max_examples=50, deadline=None)
+@given(prec=st.integers(1, 8), lon=st.floats(-179, 179), lat=st.floats(-84, 84))
+def test_geohash_decode_within_cell(prec, lon, lat):
+    h = cells.geohash_encode([lon], [lat], prec)[0]
+    dl, db = cells.geohash_decode([h])
+    # cell size shrinks 32× per char; center within half a cell of the input
+    lon_err = 360.0 / (2 ** ((prec * 5 + 1) // 2))
+    lat_err = 180.0 / (2 ** (prec * 5 // 2))
+    assert abs(dl[0] - lon) <= lon_err
+    assert abs(db[0] - lat) <= lat_err
+
+
+class TestDegenerateInputs:
+    def test_single_point_doc(self, net_world):
+        nodes, edges, net, fat = net_world
+        lon0 = float(np.asarray(nodes["lon"]).mean())
+        lat0 = float(np.asarray(nodes["lat"]).mean())
+        res = match_trajectory(net, [lon0], [lat0])
+        assert len(res.layers) == 1 and res.layers[0].seq == 0
+        assert res.layers[0].hop_lons.size == 0
+
+    def test_two_identical_points(self, net_world):
+        nodes, edges, net, fat = net_world
+        lon0 = float(np.asarray(nodes["lon"]).mean())
+        lat0 = float(np.asarray(nodes["lat"]).mean())
+        res = match_trajectory(net, [lon0, lon0], [lat0, lat0])
+        assert len(res.layers) == 2
+        assert res.layers[0].edge_id == res.layers[1].edge_id
+
+    def test_empty_docs_dataset(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from routers_ray.pipelines.match_pipeline import match_documents
+
+        nodes, edges = synth_network(seed=7, n_cities=1, grid=(4, 4))
+        store = str(tmp_path / "s")
+        build_network_store(nodes, edges, store, use_ray=False)
+        empty = pa.Table.from_pylist([], schema=DOCS_SCHEMA)
+        ds = rd.from_arrow(empty)
+        out = match_documents(ds, store, concurrency=1, batch_size=8)
+        assert out.count() == 0
+
+    def test_long_doc_tail_window(self, net_world):
+        nodes, edges, net, fat = net_world
+        lons = np.asarray(nodes["lon"])[:30]
+        lats = np.asarray(nodes["lat"])[:30]
+        res = match_trajectory(net, lons, lats, MatchOptions(max_layers=5, drop_unanchored=True))
+        assert len(res.layers) <= 5
