@@ -277,30 +277,43 @@ class _TrajectoryContext:
         c_lon = np.concatenate([ly.pos_lon for ly in layers])
         c_lat = np.concatenate([ly.pos_lat for ly in layers])
 
-        # pair index arrays across every boundary
-        FI, TI, BB = [], [], []
+        # pair index arrays across every boundary — one vectorized pass for
+        # the AllCompute grid; the Selective subset keeps a per-boundary loop
         k = self.opts.fanout
-        for b in range(L - 1):
-            nF, nT = widths[b], widths[b + 1]
-            if k is None or nT <= k:
-                fi = np.repeat(np.arange(nF), nT)
-                ti = np.tile(np.arange(nT), nF)
-            else:
-                # Selective: k nearest targets per source by candidate
-                # position haversine (selective.rs:69-88)
-                F, T = layers[b], layers[b + 1]
-                d = haversine_m(
-                    F.pos_lon[:, None], F.pos_lat[:, None], T.pos_lon[None, :], T.pos_lat[None, :]
-                )
-                sel = np.sort(np.argpartition(d, k - 1, axis=1)[:, :k], axis=1)
-                fi = np.repeat(np.arange(nF), k)
-                ti = sel.ravel()
-            FI.append(fi + loff[b])
-            TI.append(ti + loff[b + 1])
-            BB.append(np.full(fi.size, b, dtype=np.int64))
-        FI = np.concatenate(FI)
-        TI = np.concatenate(TI)
-        BB = np.concatenate(BB)
+        w = np.asarray(widths, dtype=np.int64)
+        nF_b, nT_b = w[:-1], w[1:]
+        if k is None or int(nT_b.max(initial=0)) <= k:
+            counts = nF_b * nT_b
+            total = int(counts.sum())
+            BB = np.repeat(np.arange(L - 1, dtype=np.int64), counts)
+            pstart = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            local = np.arange(total, dtype=np.int64) - pstart[BB]
+            r_nT = nT_b[BB]
+            FI = loff[BB] + local // r_nT
+            TI = loff[BB + 1] + local % r_nT
+        else:
+            FI_l, TI_l, BB_l = [], [], []
+            for b in range(L - 1):
+                nF, nT = widths[b], widths[b + 1]
+                if nT <= k:
+                    fi = np.repeat(np.arange(nF), nT)
+                    ti = np.tile(np.arange(nT), nF)
+                else:
+                    # Selective: k nearest targets per source by candidate
+                    # position haversine (selective.rs:69-88)
+                    F, T = layers[b], layers[b + 1]
+                    d = haversine_m(
+                        F.pos_lon[:, None], F.pos_lat[:, None], T.pos_lon[None, :], T.pos_lat[None, :]
+                    )
+                    sel = np.sort(np.argpartition(d, k - 1, axis=1)[:, :k], axis=1)
+                    fi = np.repeat(np.arange(nF), k)
+                    ti = sel.ravel()
+                FI_l.append(fi + loff[b])
+                TI_l.append(ti + loff[b + 1])
+                BB_l.append(np.full(fi.size, b, dtype=np.int64))
+            FI = np.concatenate(FI_l)
+            TI = np.concatenate(TI_l)
+            BB = np.concatenate(BB_l)
 
         s_row, t_row = c_row[FI], c_row[TI]
         s_lon, s_lat = c_lon[FI], c_lat[FI]
@@ -425,15 +438,15 @@ class _TrajectoryContext:
         cost = np.minimum((100.0 / np.clip(score, 1e-6, 1.0)).astype(np.int64), MAX_WEIGHT)
 
         # scatter into per-boundary matrices; all-NO_EDGE boundaries stay
-        # pending (the gap record, weigh/mod.rs:160-163)
-        order = np.argsort(BB, kind="stable")
-        bounds = np.searchsorted(BB[order], np.arange(L - 1), side="left")
+        # pending (the gap record, weigh/mod.rs:160-163). BB is sorted by
+        # construction in both pair-building paths.
+        bounds = np.searchsorted(BB, np.arange(L - 1), side="left")
         bounds = np.append(bounds, BB.size)
         for b in range(L - 1):
-            sl = order[bounds[b] : bounds[b + 1]]
-            mat = np.full((widths[b], widths[b + 1]), int(NO_EDGE), dtype=np.int64)
-            r = sl[reachable[sl]]
+            lo, hi = bounds[b], bounds[b + 1]
+            r = np.flatnonzero(reachable[lo:hi]) + lo
             if r.size:
+                mat = np.full((widths[b], widths[b + 1]), int(NO_EDGE), dtype=np.int64)
                 mat[FI[r] - loff[b], TI[r] - loff[b + 1]] = cost[r]
                 t.fill_transition(b, mat, validate=False)
         return t
