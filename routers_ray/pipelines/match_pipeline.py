@@ -275,8 +275,10 @@ def match_documents(
 
     - ``"hash"`` — ``repartition(keys=["route_key"])``, a hash-partitioned
       exchange co-locating each (cell, salt) in one block (requires
-      ``DataContext.shuffle_strategy = HASH_SHUFFLE``); the scale path: each
-      matcher actor pages only its cells' networks;
+      ``DataContext.shuffle_strategy = HASH_SHUFFLE``; bound
+      ``ctx.max_hash_shuffle_aggregators`` to ~¼ of the CPUs — the default
+      64 aggregator actors oversubscribe a single node); the scale path:
+      each matcher actor pages only its cells' networks;
     - ``"sort"`` — global sort on route_key (ordered blocks; more expensive
       and on this Ray version its output streams with poor downstream
       parallelism — kept for ordered-output runs);

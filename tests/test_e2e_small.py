@@ -133,3 +133,40 @@ def test_salting_splits_hot_cell(world, ray_session):
     assert ok.count() > 0
     err = matched_errors(matched).count()
     assert err < matched.count()
+
+
+def test_hash_route_equals_unrouted(world, ray_session):
+    """The multi-node routing exchange (repartition(keys=[route_key]) under
+    HASH_SHUFFLE with bounded aggregators) produces the same matched rows
+    as the unrouted path."""
+    import ray.data as rd
+
+    try:
+        from ray.data.context import ShuffleStrategy
+    except ImportError:
+        pytest.skip("no shuffle strategy API")
+    ctx = rd.DataContext.get_current()
+    old_strategy = ctx.shuffle_strategy
+    old_aggs = ctx.max_hash_shuffle_aggregators
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.max_hash_shuffle_aggregators = 2
+    try:
+        ds = rd.read_parquet(world["paths"]["parquet"])
+        routed = match_documents(
+            ds, world["store"], concurrency=2, batch_size=16, keep_spans=False,
+            route="hash", route_blocks=4,
+        )
+        ds2 = rd.read_parquet(world["paths"]["parquet"])
+        plain = match_documents(
+            ds2, world["store"], concurrency=2, batch_size=16, keep_spans=False,
+            route="none", salt=False,
+        )
+        cols = ["doc_id", "seq", "status", "edge_id", "src", "dst", "cost"]
+        a = routed.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+        b = plain.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+    finally:
+        ctx.shuffle_strategy = old_strategy
+        ctx.max_hash_shuffle_aggregators = old_aggs
