@@ -584,3 +584,23 @@ def match_trajectory(net: CellNetwork, lons, lats, opts: MatchOptions | None = N
             )
         )
     return MatchResult(layers=out, cost=int(cost), dropped_seqs=dropped, converged_layer=conv)
+
+
+def interpolated_path(result: MatchResult) -> tuple[np.ndarray, np.ndarray]:
+    """The full driven geometry of a match — ``RoutedPath.interpolated``
+    (``candidate/route.rs:21-39,181-190``): hop geometries concatenated in
+    layer order with consecutive-duplicate seam points removed
+    (``route.rs:129``, ``collapse.rs:88-97``)."""
+    lons_parts = [ml.hop_lons for ml in result.layers if ml.hop_lons.size]
+    lats_parts = [ml.hop_lats for ml in result.layers if ml.hop_lats.size]
+    if not lons_parts:
+        if result.layers:
+            return (
+                np.asarray([result.layers[0].snap_lon]),
+                np.asarray([result.layers[0].snap_lat]),
+            )
+        return np.empty(0), np.empty(0)
+    lons = np.concatenate(lons_parts)
+    lats = np.concatenate(lats_parts)
+    keep = np.concatenate(([True], (np.diff(lons) != 0) | (np.diff(lats) != 0)))
+    return lons[keep], lats[keep]

@@ -1149,6 +1149,46 @@ def sql_ngram_jaccard() -> str:
     """
 
 
+
+
+def q_top_tokens(sf_dir: str):
+    """Distributed word count with exact top-k: per-batch partial token
+    counts → groupby sum → top 20 (ties to the lexicographically smallest
+    token) — the canonical pre-aggregate-before-shuffle wordcount."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(b["text"], " "))
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby("token").sum("n")
+    pdf = agg.to_pandas()
+    pdf.columns = ["token", "n"]
+    top = pdf.sort_values(["n", "token"], ascending=[False, True]).head(20)
+    return pa.table(
+        {"token": pa.array(top["token"].astype(str), pa.string()), "n": pa.array(top["n"].astype("int64"), pa.int64())}
+    )
+
+
+def sql_top_tokens() -> str:
+    return """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT 20
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1185,4 +1225,5 @@ def registry() -> dict[str, tuple]:
         "sessionize": (q_sessionize, sql_sessionize()),
         "embed_dups": (q_embed_dups, sql_embed_dups()),
         "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
+        "top_tokens": (q_top_tokens, sql_top_tokens()),
     }

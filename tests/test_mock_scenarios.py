@@ -243,3 +243,18 @@ def test_convergence_reported():
     )
     assert res.converged_layer is not None
     assert 0 <= res.converged_layer <= len(BENT_LONS) - 1
+
+
+def test_interpolated_path_seams_deduped():
+    """route.rs:129: concatenated hop geometry has no duplicate seam
+    points and traverses the bent road's interior nodes."""
+    from routers_ray.matcher import interpolated_path
+
+    net = bent_road()
+    res = match_trajectory(net, BENT_LONS, BENT_LATS)
+    lons, lats = interpolated_path(res)
+    assert lons.size >= 6
+    d = np.abs(np.diff(lons)) + np.abs(np.diff(lats))
+    assert (d > 0).all(), "consecutive duplicate points must be deduped"
+    # passes through interior bend nodes 3 (-118.17, 34.15→34.14 corner)
+    assert any(abs(x - -118.17) < 1e-9 for x in lons)
