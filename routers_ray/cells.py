@@ -168,11 +168,50 @@ def segment_covering_cells(ax, ay, bx, by, z: int, buffer_deg_x, buffer_deg_y):
     """Vectorized per-segment covering cells.
 
     For each segment (a→b) returns the cells at zoom ``z`` whose tiles
-    intersect the segment's bbox expanded by the buffer (degrees). Output is
-    a flat (row_index, cell) pair of arrays — ready to explode an edge table
-    into its (cell, edge) index rows.
+    intersect the segment's *line* expanded by the buffer (degrees). Output
+    is a flat (row_index, cell) pair of arrays — ready to explode an edge
+    table into its (cell, edge) index rows.
+
+    Long diagonal segments are chopped into sub-segments roughly one tile
+    long before bbox-covering, so the cover is O(length/tile) cells — a
+    whole-bbox cover of a 30 km motorway at a street-level zoom would be
+    O(area) and blow the index up quadratically. The union of sub-segment
+    bbox covers is still a superset of the buffered line (every point of
+    the segment lies inside its own sub-bbox).
     """
     ax, ay, bx, by = (np.asarray(v, dtype=np.float64) for v in (ax, ay, bx, by))
+
+    # split segments spanning more than ~2 tiles on either axis
+    tile_deg = 360.0 / float(1 << z)
+    span = np.maximum(np.abs(bx - ax), np.abs(by - ay))
+    n_sub = np.maximum(1, np.ceil(span / (2.0 * tile_deg)).astype(np.int64))
+    if int(n_sub.max(initial=1)) > 1:
+        reps = n_sub
+        seg_row = np.repeat(np.arange(ax.size, dtype=np.int64), reps)
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        local = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(starts, reps)
+        denom = np.repeat(n_sub, reps).astype(np.float64)
+        t0 = local / denom
+        t1 = (local + 1) / denom
+        sub_ax = ax[seg_row] + (bx[seg_row] - ax[seg_row]) * t0
+        sub_bx = ax[seg_row] + (bx[seg_row] - ax[seg_row]) * t1
+        sub_ay = ay[seg_row] + (by[seg_row] - ay[seg_row]) * t0
+        sub_by = ay[seg_row] + (by[seg_row] - ay[seg_row]) * t1
+        rows_sub, cells_sub = _bbox_cover(
+            sub_ax, sub_ay, sub_bx, sub_by, z, buffer_deg_x, buffer_deg_y
+        )
+        rows = seg_row[rows_sub]
+        # sub-bbox covers of one segment overlap at joints — dedup (row, cell)
+        order = np.lexsort((cells_sub, rows))
+        rows, cells_sub = rows[order], cells_sub[order]
+        keep = np.ones(rows.size, dtype=bool)
+        if rows.size:
+            keep[1:] = (rows[1:] != rows[:-1]) | (cells_sub[1:] != cells_sub[:-1])
+        return rows[keep], cells_sub[keep]
+    return _bbox_cover(ax, ay, bx, by, z, buffer_deg_x, buffer_deg_y)
+
+
+def _bbox_cover(ax, ay, bx, by, z: int, buffer_deg_x, buffer_deg_y):
     lo_x = np.minimum(ax, bx) - buffer_deg_x
     hi_x = np.maximum(ax, bx) + buffer_deg_x
     lo_y = np.minimum(ay, by) - buffer_deg_y

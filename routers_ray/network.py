@@ -371,7 +371,15 @@ class CellNetwork:
 
     def edges_at_distance(self, lon: float, lat: float, distance_m: float) -> np.ndarray:
         """Edge row indices whose envelope intersects the square box around
-        the point, ascending (already sorted by (edge_id, dir))."""
+        the point, ascending (already sorted by (edge_id, dir)).
+
+        One deliberate refinement of the reference's square scan: edges
+        longer than ~2 join-zoom tiles are cell-binned along their *line*
+        (see ``cells.segment_covering_cells``), so a point sitting in the
+        empty far corner of a long diagonal edge's envelope does not see
+        that edge. The reference's R-tree would over-select it (envelope
+        test only); ours bounds index replication to O(length/tile), which
+        is what keeps street-zoom binning feasible for motorway geometry."""
         rows = self._bins.get(int(cells.lonlat_to_cell(lon, lat, self.join_zoom)))
         if rows is None or rows.size == 0:
             return np.empty(0, dtype=np.int64)
