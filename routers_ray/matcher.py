@@ -260,7 +260,6 @@ class _TrajectoryContext:
     # -- whole-trajectory weighing ----------------------------------------
 
     def weigh_all(self) -> Trellis:
-        net = self.net
         layers = self.layers
         L = len(layers)
         widths = [ly.edge_rows.size for ly in layers]
@@ -269,186 +268,15 @@ class _TrajectoryContext:
             t.fill_nodes(i, np.minimum(ly.emission.astype(np.int64), MAX_WEIGHT))
         if L < 2:
             return t
-
-        # flat candidate arrays + per-layer offsets
         loff = np.concatenate(([0], np.cumsum(widths))).astype(np.int64)
         c_row = np.concatenate([ly.edge_rows for ly in layers])
         c_frac = np.concatenate([ly.frac for ly in layers])
         c_lon = np.concatenate([ly.pos_lon for ly in layers])
         c_lat = np.concatenate([ly.pos_lat for ly in layers])
-
-        # pair index arrays across every boundary — one vectorized pass for
-        # the AllCompute grid; the Selective subset keeps a per-boundary loop
-        k = self.opts.fanout
-        w = np.asarray(widths, dtype=np.int64)
-        nF_b, nT_b = w[:-1], w[1:]
-        if k is None or int(nT_b.max(initial=0)) <= k:
-            counts = nF_b * nT_b
-            total = int(counts.sum())
-            BB = np.repeat(np.arange(L - 1, dtype=np.int64), counts)
-            pstart = np.concatenate(([0], np.cumsum(counts)[:-1]))
-            local = np.arange(total, dtype=np.int64) - pstart[BB]
-            r_nT = nT_b[BB]
-            FI = loff[BB] + local // r_nT
-            TI = loff[BB + 1] + local % r_nT
-        else:
-            FI_l, TI_l, BB_l = [], [], []
-            for b in range(L - 1):
-                nF, nT = widths[b], widths[b + 1]
-                if nT <= k:
-                    fi = np.repeat(np.arange(nF), nT)
-                    ti = np.tile(np.arange(nT), nF)
-                else:
-                    # Selective: k nearest targets per source by candidate
-                    # position haversine (selective.rs:69-88)
-                    F, T = layers[b], layers[b + 1]
-                    d = haversine_m(
-                        F.pos_lon[:, None], F.pos_lat[:, None], T.pos_lon[None, :], T.pos_lat[None, :]
-                    )
-                    sel = np.sort(np.argpartition(d, k - 1, axis=1)[:, :k], axis=1)
-                    fi = np.repeat(np.arange(nF), k)
-                    ti = sel.ravel()
-                FI_l.append(fi + loff[b])
-                TI_l.append(ti + loff[b + 1])
-                BB_l.append(np.full(fi.size, b, dtype=np.int64))
-            FI = np.concatenate(FI_l)
-            TI = np.concatenate(TI_l)
-            BB = np.concatenate(BB_l)
-
-        s_row, t_row = c_row[FI], c_row[TI]
-        s_lon, s_lat = c_lon[FI], c_lat[FI]
-        t_lon, t_lat = c_lon[TI], c_lat[TI]
-
-        straight = haversine_m(s_lon, s_lat, t_lon, t_lat)
-        direct = (s_row == t_row) & (c_frac[FI] <= c_frac[TI])
-
-        root = net.dst_idx[s_row]
-        leaf = net.src_idx[t_row]
-        root_lon, root_lat = net.csr.node_lon[root], net.csr.node_lat[root]
-        leaf_lon, leaf_lat = net.csr.node_lon[leaf], net.csr.node_lat[leaf]
-        tail_s = haversine_m(s_lon, s_lat, root_lon, root_lat)
-        tail_t = haversine_m(leaf_lon, leaf_lat, t_lon, t_lat)
-        b_sp = bearing_deg(s_lon, s_lat, root_lon, root_lat)  # s_pos → path[0]
-        b_pt = bearing_deg(leaf_lon, leaf_lat, t_lon, t_lat)  # path[-1] → t_pos
-        b_st = bearing_deg(s_lon, s_lat, t_lon, t_lat)  # direct mid heading
-
-        h_s = net.heading[s_row]
-        h_t = net.heading[t_row]
-        cont = net.weight[s_row].astype(np.float64) / net.weight[t_row].astype(np.float64)
-
-        # resolve routed paths once per unique (root, leaf)
-        n_pairs = FI.size
-        key = (root.astype(np.int64) << np.int64(32)) | leaf.astype(np.int64)
-        routed_idx = np.flatnonzero(~direct)
-        ukeys, inv = np.unique(key[routed_idx], return_inverse=True)
-        paths = self.paths
-        new = [int(kk) for kk in ukeys.tolist() if kk not in paths]
-        if new:
-            self._resolve_new(new)
-
-        nu = ukeys.size
-        u_ok = np.zeros(nu, dtype=bool)
-        u_len = np.zeros(nu, dtype=np.float64)
-        u_hf = np.full(nu, np.nan)
-        u_hl = np.full(nu, np.nan)
-        u_hinv = np.zeros(nu, dtype=np.float64)
-        u_hzero = np.zeros(nu, dtype=bool)
-        u_hcnt = np.zeros(nu, dtype=np.int64)
-        for j, kk in enumerate(ukeys.tolist()):
-            info = paths[kk]
-            if info is not None:
-                u_ok[j] = True
-                u_len[j] = info.length_m
-                u_hf[j] = info.h_first
-                u_hl[j] = info.h_last
-                u_hinv[j] = info.h_invsum
-                u_hzero[j] = info.h_zero
-                u_hcnt[j] = info.h_cnt
-
-        ok_r = np.zeros(n_pairs, dtype=bool)
-        i_len = np.zeros(n_pairs, dtype=np.float64)
-        blk_hf = np.full(n_pairs, np.nan)
-        blk_hl = np.full(n_pairs, np.nan)
-        blk_inv = np.zeros(n_pairs, dtype=np.float64)
-        blk_zero = np.zeros(n_pairs, dtype=bool)
-        blk_cnt = np.zeros(n_pairs, dtype=np.int64)
-        if routed_idx.size:
-            ok_r[routed_idx] = u_ok[inv]
-            i_len[routed_idx] = u_len[inv]
-            blk_hf[routed_idx] = u_hf[inv]
-            blk_hl[routed_idx] = u_hl[inv]
-            blk_inv[routed_idx] = u_hinv[inv]
-            blk_zero[routed_idx] = u_hzero[inv]
-            blk_cnt[routed_idx] = u_hcnt[inv]
-        reachable = direct | ok_r
-
-        # vectorized angular-complexity fold over the optional-heading chain
-        # [h_s?, mid?, interior-block?, b_pt?, h_t?] (entity.rs:241-296)
-        mid = np.where(
-            direct,
-            np.where(straight >= 1.0, b_st, np.nan),
-            np.where(tail_s >= 1.0, b_sp, np.nan),
-        )
-        c_pt = np.where(direct, np.nan, np.where(tail_t >= 1.0, b_pt, np.nan))
-        prev = np.full(n_pairs, np.nan)
-        inv_sum = np.zeros(n_pairs, dtype=np.float64)
-        cnt = np.zeros(n_pairs, dtype=np.int64)
-        zero = np.zeros(n_pairs, dtype=bool)
-
-        def _step(x):
-            m = ~np.isnan(x)
-            j = m & ~np.isnan(prev)
-            if j.any():
-                idx = np.flatnonzero(j)
-                d = np.fmod(x[idx] - prev[idx], 360.0)
-                d = np.where(d > 180.0, d - 360.0, d)
-                d = np.where(d <= -180.0, d + 360.0, d)
-                c = np.cos(d * _COS_K)
-                bad = c <= 0.0
-                zero[idx[bad]] = True
-                good = ~bad
-                inv_sum[idx[good]] += 1.0 / np.minimum(c[good], 1.0)
-                cnt[idx] += 1
-            prev[m] = x[m]
-
-        _step(h_s)
-        _step(mid)
-        has_blk = ~np.isnan(blk_hf)
-        _step(np.where(has_blk, blk_hf, np.nan))
-        inv_sum += blk_inv
-        cnt += blk_cnt
-        zero |= blk_zero
-        prev = np.where(has_blk, blk_hl, prev)
-        _step(c_pt)
-        _step(h_t)
-
-        with np.errstate(divide="ignore", invalid="ignore"):
-            turn = np.where(cnt == 0, 1.0, np.clip(cnt / np.maximum(inv_sum, 1e-300), 0.0, 1.0))
-        turn = np.where(zero, 0.0, turn)
-
-        # route length + deviance (transition.rs:200-238)
-        route_len = np.where(direct, straight, i_len + tail_s + tail_t)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            dev = np.where(route_len > 0.0, straight / route_len, 1.0)
-
-        # combined score → u32 cost (costing/default.rs:137-173, util.rs:29-39)
-        score = np.sqrt(
-            np.clip(dev, 1e-6, 1.0) * np.clip(turn, 1e-6, 1.0) * np.clip(cont, 1e-6, 1.0)
-        )
-        cost = np.minimum((100.0 / np.clip(score, 1e-6, 1.0)).astype(np.int64), MAX_WEIGHT)
-
-        # scatter into per-boundary matrices; all-NO_EDGE boundaries stay
-        # pending (the gap record, weigh/mod.rs:160-163). BB is sorted by
-        # construction in both pair-building paths.
-        bounds = np.searchsorted(BB, np.arange(L - 1), side="left")
-        bounds = np.append(bounds, BB.size)
-        for b in range(L - 1):
-            lo, hi = bounds[b], bounds[b + 1]
-            r = np.flatnonzero(reachable[lo:hi]) + lo
-            if r.size:
-                mat = np.full((widths[b], widths[b + 1]), int(NO_EDGE), dtype=np.int64)
-                mat[FI[r] - loff[b], TI[r] - loff[b + 1]] = cost[r]
-                t.fill_transition(b, mat, validate=False)
+        bf = np.arange(L - 1, dtype=np.int64)
+        mats = _weigh_kernel(self, c_row, c_frac, c_lon, c_lat, loff, bf)
+        for b, mat in mats.items():
+            t.fill_transition(int(b), mat, validate=False)
         return t
 
     def hop_geometry(self, li: int, si: int, lj: int, ti: int):
@@ -476,6 +304,199 @@ class _TrajectoryContext:
             keep = np.concatenate(([True], (np.diff(lons) != 0) | (np.diff(lats) != 0)))
             lons, lats = lons[keep], lats[keep]
         return lons, lats
+
+
+def _weigh_kernel(ctx: "_TrajectoryContext", c_row, c_frac, c_lon, c_lat, loff, bf):
+    """The vectorized weigher over an explicit boundary map.
+
+    ``loff`` positions each global layer inside the flat candidate arrays;
+    ``bf[i]`` is the from-layer of boundary i (its to-layer is ``bf[i]+1`` —
+    per-doc layers are contiguous, boundaries never cross doc junctions).
+    Returns {boundary_index_in_bf → dense int64 matrix} for boundaries with
+    at least one reachable pair (all-NO_EDGE boundaries stay pending — the
+    gap record, weigh/mod.rs:160-163). Semantics identical to the per-pair
+    reference path (see module docstring); this is purely the physical form
+    that lets one call weigh every boundary of every doc in a batch.
+    """
+    net = ctx.net
+    opts = ctx.opts
+    n_bounds = bf.size
+    w = np.diff(loff)
+    nF_b = w[bf]
+    nT_b = w[bf + 1]
+
+    k = opts.fanout
+    if k is None or int(nT_b.max(initial=0)) <= k:
+        counts = nF_b * nT_b
+        total = int(counts.sum())
+        BB = np.repeat(np.arange(n_bounds, dtype=np.int64), counts)
+        pstart = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        local = np.arange(total, dtype=np.int64) - pstart[BB]
+        r_nT = nT_b[BB]
+        FI = loff[bf[BB]] + local // r_nT
+        TI = loff[bf[BB] + 1] + local % r_nT
+    else:
+        FI_l, TI_l, BB_l = [], [], []
+        for i in range(n_bounds):
+            b = int(bf[i])
+            nF, nT = int(w[b]), int(w[b + 1])
+            if nT <= k:
+                fi = np.repeat(np.arange(nF), nT)
+                ti = np.tile(np.arange(nT), nF)
+            else:
+                # Selective: k nearest targets per source by candidate
+                # position haversine (selective.rs:69-88)
+                flo, fhi = loff[b], loff[b + 1]
+                tlo, thi = loff[b + 1], loff[b + 2]
+                d = haversine_m(
+                    c_lon[flo:fhi, None], c_lat[flo:fhi, None],
+                    c_lon[None, tlo:thi], c_lat[None, tlo:thi],
+                )
+                sel = np.sort(np.argpartition(d, k - 1, axis=1)[:, :k], axis=1)
+                fi = np.repeat(np.arange(nF), k)
+                ti = sel.ravel()
+            FI_l.append(fi + loff[b])
+            TI_l.append(ti + loff[b + 1])
+            BB_l.append(np.full(fi.size, i, dtype=np.int64))
+        FI = np.concatenate(FI_l)
+        TI = np.concatenate(TI_l)
+        BB = np.concatenate(BB_l)
+
+    s_row, t_row = c_row[FI], c_row[TI]
+    s_lon, s_lat = c_lon[FI], c_lat[FI]
+    t_lon, t_lat = c_lon[TI], c_lat[TI]
+
+    straight = haversine_m(s_lon, s_lat, t_lon, t_lat)
+    direct = (s_row == t_row) & (c_frac[FI] <= c_frac[TI])
+
+    root = net.dst_idx[s_row]
+    leaf = net.src_idx[t_row]
+    root_lon, root_lat = net.csr.node_lon[root], net.csr.node_lat[root]
+    leaf_lon, leaf_lat = net.csr.node_lon[leaf], net.csr.node_lat[leaf]
+    tail_s = haversine_m(s_lon, s_lat, root_lon, root_lat)
+    tail_t = haversine_m(leaf_lon, leaf_lat, t_lon, t_lat)
+    b_sp = bearing_deg(s_lon, s_lat, root_lon, root_lat)  # s_pos → path[0]
+    b_pt = bearing_deg(leaf_lon, leaf_lat, t_lon, t_lat)  # path[-1] → t_pos
+    b_st = bearing_deg(s_lon, s_lat, t_lon, t_lat)  # direct mid heading
+
+    h_s = net.heading[s_row]
+    h_t = net.heading[t_row]
+    cont = net.weight[s_row].astype(np.float64) / net.weight[t_row].astype(np.float64)
+
+    # resolve routed paths once per unique (root, leaf)
+    n_pairs = FI.size
+    key = (root.astype(np.int64) << np.int64(32)) | leaf.astype(np.int64)
+    routed_idx = np.flatnonzero(~direct)
+    ukeys, inv = np.unique(key[routed_idx], return_inverse=True)
+    paths = ctx.paths
+    new = [int(kk) for kk in ukeys.tolist() if kk not in paths]
+    if new:
+        ctx._resolve_new(new)
+
+    nu = ukeys.size
+    u_ok = np.zeros(nu, dtype=bool)
+    u_len = np.zeros(nu, dtype=np.float64)
+    u_hf = np.full(nu, np.nan)
+    u_hl = np.full(nu, np.nan)
+    u_hinv = np.zeros(nu, dtype=np.float64)
+    u_hzero = np.zeros(nu, dtype=bool)
+    u_hcnt = np.zeros(nu, dtype=np.int64)
+    for j, kk in enumerate(ukeys.tolist()):
+        info = paths[kk]
+        if info is not None:
+            u_ok[j] = True
+            u_len[j] = info.length_m
+            u_hf[j] = info.h_first
+            u_hl[j] = info.h_last
+            u_hinv[j] = info.h_invsum
+            u_hzero[j] = info.h_zero
+            u_hcnt[j] = info.h_cnt
+
+    ok_r = np.zeros(n_pairs, dtype=bool)
+    i_len = np.zeros(n_pairs, dtype=np.float64)
+    blk_hf = np.full(n_pairs, np.nan)
+    blk_hl = np.full(n_pairs, np.nan)
+    blk_inv = np.zeros(n_pairs, dtype=np.float64)
+    blk_zero = np.zeros(n_pairs, dtype=bool)
+    blk_cnt = np.zeros(n_pairs, dtype=np.int64)
+    if routed_idx.size:
+        ok_r[routed_idx] = u_ok[inv]
+        i_len[routed_idx] = u_len[inv]
+        blk_hf[routed_idx] = u_hf[inv]
+        blk_hl[routed_idx] = u_hl[inv]
+        blk_inv[routed_idx] = u_hinv[inv]
+        blk_zero[routed_idx] = u_hzero[inv]
+        blk_cnt[routed_idx] = u_hcnt[inv]
+    reachable = direct | ok_r
+
+    # vectorized angular-complexity fold over the optional-heading chain
+    # [h_s?, mid?, interior-block?, b_pt?, h_t?] (entity.rs:241-296)
+    mid = np.where(
+        direct,
+        np.where(straight >= 1.0, b_st, np.nan),
+        np.where(tail_s >= 1.0, b_sp, np.nan),
+    )
+    c_pt = np.where(direct, np.nan, np.where(tail_t >= 1.0, b_pt, np.nan))
+    prev = np.full(n_pairs, np.nan)
+    inv_sum = np.zeros(n_pairs, dtype=np.float64)
+    cnt = np.zeros(n_pairs, dtype=np.int64)
+    zero = np.zeros(n_pairs, dtype=bool)
+
+    def _step(x):
+        m = ~np.isnan(x)
+        j = m & ~np.isnan(prev)
+        if j.any():
+            idx = np.flatnonzero(j)
+            d = np.fmod(x[idx] - prev[idx], 360.0)
+            d = np.where(d > 180.0, d - 360.0, d)
+            d = np.where(d <= -180.0, d + 360.0, d)
+            c = np.cos(d * _COS_K)
+            bad = c <= 0.0
+            zero[idx[bad]] = True
+            good = ~bad
+            inv_sum[idx[good]] += 1.0 / np.minimum(c[good], 1.0)
+            cnt[idx] += 1
+        prev[m] = x[m]
+
+    _step(h_s)
+    _step(mid)
+    has_blk = ~np.isnan(blk_hf)
+    _step(np.where(has_blk, blk_hf, np.nan))
+    inv_sum += blk_inv
+    cnt += blk_cnt
+    zero |= blk_zero
+    prev = np.where(has_blk, blk_hl, prev)
+    _step(c_pt)
+    _step(h_t)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        turn = np.where(cnt == 0, 1.0, np.clip(cnt / np.maximum(inv_sum, 1e-300), 0.0, 1.0))
+    turn = np.where(zero, 0.0, turn)
+
+    # route length + deviance (transition.rs:200-238)
+    route_len = np.where(direct, straight, i_len + tail_s + tail_t)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dev = np.where(route_len > 0.0, straight / route_len, 1.0)
+
+    # combined score → u32 cost (costing/default.rs:137-173, util.rs:29-39)
+    score = np.sqrt(
+        np.clip(dev, 1e-6, 1.0) * np.clip(turn, 1e-6, 1.0) * np.clip(cont, 1e-6, 1.0)
+    )
+    cost = np.minimum((100.0 / np.clip(score, 1e-6, 1.0)).astype(np.int64), MAX_WEIGHT)
+
+    # per-boundary dense matrices (BB sorted by construction)
+    bounds = np.searchsorted(BB, np.arange(n_bounds), side="left")
+    bounds = np.append(bounds, BB.size)
+    mats: dict[int, np.ndarray] = {}
+    for i in range(n_bounds):
+        lo, hi = bounds[i], bounds[i + 1]
+        r = np.flatnonzero(reachable[lo:hi]) + lo
+        if r.size:
+            b = int(bf[i])
+            mat = np.full((int(w[b]), int(w[b + 1])), int(NO_EDGE), dtype=np.int64)
+            mat[FI[r] - loff[b], TI[r] - loff[b + 1]] = cost[r]
+            mats[i] = mat
+    return mats
 
 
 def _complexity(headings: list) -> float:
@@ -604,3 +625,181 @@ def interpolated_path(result: MatchResult) -> tuple[np.ndarray, np.ndarray]:
     lats = np.concatenate(lats_parts)
     keep = np.concatenate(([True], (np.diff(lons) != 0) | (np.diff(lats) != 0)))
     return lons[keep], lats[keep]
+
+
+def match_trajectories(
+    net: CellNetwork, docs: list, opts: MatchOptions | None = None
+) -> list:
+    """Match many trajectories against ONE network in a single weigh pass.
+
+    ``docs`` is a list of (lons, lats) array pairs. Returns a list aligned
+    with the input: :class:`MatchResult` per matched doc or
+    :class:`MatchError` per failed doc. Semantics are identical to calling
+    :func:`match_trajectory` per doc (same kernel, same caches); the batch
+    form exists so one actor call amortizes candidate generation and the
+    weigh kernel across every doc in a batch — docs with unanchored points
+    or streaming drops fall back to the per-doc path.
+    """
+    opts = opts or MatchOptions()
+    n_docs = len(docs)
+    results: list = [None] * n_docs
+
+    # one candidate pass over every point of every doc
+    all_lons = [np.asarray(d[0], dtype=np.float64) for d in docs]
+    all_lats = [np.asarray(d[1], dtype=np.float64) for d in docs]
+    if opts.max_layers is not None:
+        all_lons = [a[-opts.max_layers :] for a in all_lons]
+        all_lats = [a[-opts.max_layers :] for a in all_lats]
+    counts = np.asarray([a.size for a in all_lons], dtype=np.int64)
+    if counts.sum() == 0:
+        return [MatchError("unanchored", []) for _ in docs]
+    flat_lon = np.concatenate(all_lons)
+    flat_lat = np.concatenate(all_lats)
+    offsets, rows, frac, px, py, dist = net.candidates_batch(
+        flat_lon, flat_lat, opts.search_distance_m
+    )
+    emis = (
+        emission_cost(dist, opts.emission_error_m).astype(np.int64)
+        if rows.size
+        else np.empty(0, np.int64)
+    )
+    np.minimum(emis, MAX_WEIGHT, out=emis) if emis.size else None
+
+    doc_start = np.concatenate(([0], np.cumsum(counts)))
+    layer_sizes = np.diff(offsets)
+
+    # simple docs: every layer anchored → the batched kernel path;
+    # everything else → per-doc fallback (identical semantics)
+    simple: list[int] = []
+    for d in range(n_docs):
+        lo, hi = doc_start[d], doc_start[d + 1]
+        if hi == lo:
+            results[d] = MatchError("unanchored", [])
+        elif (layer_sizes[lo:hi] > 0).all():
+            simple.append(d)
+        else:
+            try:
+                results[d] = match_trajectory(net, all_lons[d], all_lats[d], opts)
+            except MatchError as e:
+                results[d] = e
+
+    if not simple:
+        return results
+
+    # chunk the batched kernel: pair arrays beyond ~10^5 elements fall out
+    # of cache and the vector fold turns memory-bound (measured 17x slower
+    # per element) — ~32 docs per kernel call keeps the amortization AND
+    # the locality
+    CHUNK = 16
+    if len(simple) > CHUNK:
+        for s in range(0, len(simple), CHUNK):
+            part = simple[s : s + CHUNK]
+            sub = match_trajectories(
+                net, [docs[d] for d in part], opts
+            )
+            for d, r in zip(part, sub):
+                results[d] = r
+        return results
+
+    # global flat candidate arrays for the simple docs (layers stay in order)
+    sel_layers = np.concatenate(
+        [np.arange(doc_start[d], doc_start[d + 1]) for d in simple]
+    )
+    sel_sizes = layer_sizes[sel_layers]
+    loff = np.concatenate(([0], np.cumsum(sel_sizes))).astype(np.int64)
+    take = np.concatenate(
+        [np.arange(offsets[g], offsets[g + 1]) for g in sel_layers]
+    ) if sel_sizes.sum() else np.empty(0, np.int64)
+    c_row = rows[take]
+    c_frac = frac[take]
+    c_lon = px[take]
+    c_lat = py[take]
+    c_emis = emis[take]
+
+    # boundary map: consecutive global layers within the same doc
+    bf_l = []
+    pos = 0
+    doc_layer_range = {}
+    for d in simple:
+        L = int(counts[d])
+        doc_layer_range[d] = (pos, pos + L)
+        bf_l.append(np.arange(pos, pos + L - 1, dtype=np.int64))
+        pos += L
+    bf = np.concatenate(bf_l) if bf_l else np.empty(0, np.int64)
+
+    ctx = _TrajectoryContext(net, [], opts)
+    mats = _weigh_kernel(ctx, c_row, c_frac, c_lon, c_lat, loff, bf) if bf.size else {}
+
+    # map kernel boundary index → (doc, local boundary)
+    b_owner = []
+    for d in simple:
+        L = int(counts[d])
+        b_owner.extend((d, j) for j in range(L - 1))
+
+    per_doc_mats: dict[int, dict[int, np.ndarray]] = {d: {} for d in simple}
+    for i, mat in mats.items():
+        d, j = b_owner[i]
+        per_doc_mats[d][j] = mat
+
+    for d in simple:
+        glo, ghi = doc_layer_range[d]
+        L = ghi - glo
+        layers = []
+        for g in range(glo, ghi):
+            a, b = loff[g], loff[g + 1]
+            layers.append(
+                Layer(
+                    edge_rows=c_row[a:b],
+                    frac=c_frac[a:b],
+                    pos_lon=c_lon[a:b],
+                    pos_lat=c_lat[a:b],
+                    dist_m=np.empty(0),
+                    emission=c_emis[a:b].astype(np.uint32),
+                )
+            )
+        t = Trellis.new([ly.edge_rows.size for ly in layers])
+        for i, ly in enumerate(layers):
+            t.fill_nodes(i, ly.emission.astype(np.int64))
+        for j, mat in per_doc_mats[d].items():
+            t.fill_transition(j, mat, validate=False)
+        if t.pending_boundaries():
+            results[d] = MatchError("disconnected", frontier_collapse(t))
+            continue
+        try:
+            nodes, cost = viterbi_solve(t)
+        except UnreachableError:
+            results[d] = MatchError("disconnected", frontier_collapse(t))
+            continue
+        conv = None
+        if opts.compute_convergence:
+            from .trellis import convergence as _convergence
+
+            conv = _convergence(t)
+        ctx.layers = layers
+        out = []
+        total_pts = int(counts[d])
+        seq0 = 0 if opts.max_layers is None else max(
+            0, len(np.asarray(docs[d][0])) - opts.max_layers
+        )
+        for k, (ly, ni) in enumerate(zip(layers, nodes)):
+            row = int(ly.edge_rows[ni])
+            if k == 0:
+                hop_lons = np.empty(0)
+                hop_lats = np.empty(0)
+            else:
+                hop_lons, hop_lats = ctx.hop_geometry(k - 1, int(nodes[k - 1]), k, int(ni))
+            out.append(
+                MatchedLayer(
+                    seq=seq0 + k,
+                    edge_id=int(net.edge_id[row]),
+                    direction=int(net.dir[row]),
+                    src=int(net.src[row]),
+                    dst=int(net.dst[row]),
+                    snap_lon=float(ly.pos_lon[ni]),
+                    snap_lat=float(ly.pos_lat[ni]),
+                    hop_lons=hop_lons,
+                    hop_lats=hop_lats,
+                )
+            )
+        results[d] = MatchResult(layers=out, cost=int(cost), converged_layer=conv)
+    return results

@@ -29,7 +29,7 @@ import pyarrow as pa
 
 from ..cells import lonlat_to_cell
 from ..functions import doc_salt
-from ..matcher import MatchError, MatchOptions, match_trajectory
+from ..matcher import MatchError, MatchOptions, MatchResult, match_trajectories, match_trajectory
 from ..network import NetworkStore
 from ..spans import parse_trajectories
 

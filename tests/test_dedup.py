@@ -151,9 +151,14 @@ def test_internal_error_rows_do_not_kill_batch(monkeypatch):
     store = mp.get_store(d)
     parsed = parse_trajectories(docs)
 
-    real = mp.match_trajectory
+    import routers_ray.matcher as matcher_mod
+
+    real = matcher_mod.match_trajectory
     victim = docs["doc_id"][1].as_py()
     calls = {"n": 0}
+
+    def group_boom(net, dd, opts):
+        raise RuntimeError("group poison")  # force the per-doc retry path
 
     def boom(net, ll, la, opts):
         calls["n"] += 1
@@ -161,6 +166,7 @@ def test_internal_error_rows_do_not_kill_batch(monkeypatch):
             raise RuntimeError("poison")
         return real(net, ll, la, opts)
 
+    monkeypatch.setattr(mp, "match_trajectories", group_boom)
     monkeypatch.setattr(mp, "match_trajectory", boom)
     out = mp.match_batch(parsed, store, MatchOptions(), keep_spans=False).to_pandas()
     internal = out[out["status"] == "internal"]

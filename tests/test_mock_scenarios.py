@@ -258,3 +258,31 @@ def test_interpolated_path_seams_deduped():
     assert (d > 0).all(), "consecutive duplicate points must be deduped"
     # passes through interior bend nodes 3 (-118.17, 34.15→34.14 corner)
     assert any(abs(x - -118.17) < 1e-9 for x in lons)
+
+
+def test_match_trajectories_batch_parity():
+    """The batched kernel API (match_trajectories) produces identical
+    results to per-doc match_trajectory."""
+    from routers_ray.matcher import match_trajectories
+
+    net = bent_road()
+    docs = [
+        (BENT_LONS, BENT_LATS),
+        (BENT_LONS[:4], BENT_LATS[:4]),
+        ([-100.0], [0.0]),  # unanchored
+        (BENT_LONS[2:], BENT_LATS[2:]),
+    ]
+    batch = match_trajectories(net, docs, MatchOptions())
+    for (ll, la), r in zip(docs, batch):
+        try:
+            single = match_trajectory(net, ll, la)
+        except MatchError as e:
+            assert isinstance(r, MatchError) and r.kind == e.kind
+            continue
+        assert not isinstance(r, MatchError)
+        assert r.cost == single.cost
+        assert [(m.seq, m.edge_id, m.direction, m.snap_lon, m.snap_lat) for m in r.layers] == [
+            (m.seq, m.edge_id, m.direction, m.snap_lon, m.snap_lat) for m in single.layers
+        ]
+        for a, b in zip(r.layers, single.layers):
+            assert np.array_equal(a.hop_lons, b.hop_lons)
