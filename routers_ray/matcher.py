@@ -142,7 +142,10 @@ def _predicates(net: CellNetwork, root_idx: int, threshold_cm: float):
     once and shared across boundaries/trajectories on the same network
     (``primitives/cache.rs:224-327``; bound 8192 entries, ``cache.rs:19``)."""
     hit = net._pred_cache.get(root_idx)
-    if hit is None:
+    if hit is not None:
+        # true LRU: refresh recency on hit so hot roots survive eviction
+        net._pred_cache[root_idx] = net._pred_cache.pop(root_idx)
+    else:
         hit = bounded_dijkstra(net.csr, root_idx, threshold_cm)
         if len(net._pred_cache) >= 8192:
             net._pred_cache.pop(next(iter(net._pred_cache)))
@@ -430,13 +433,19 @@ def _weigh_kernel(ctx: "_TrajectoryContext", c_row, c_frac, c_lon, c_lat, loff, 
     reachable = direct | ok_r
 
     # vectorized angular-complexity fold over the optional-heading chain
-    # [h_s?, mid?, interior-block?, b_pt?, h_t?] (entity.rs:241-296)
+    # [h_s?, mid?, interior-block?, b_pt?, h_t?] (entity.rs:241-296).
+    # Adjacent-edge routed hops (source.edge.target == target.edge.source)
+    # have an EMPTY reference map_path (resolve.rs path_nodes on a zero-edge
+    # walk), so their chain is the direct-style [h_s, b_st?, h_t] — NOT
+    # s_pos→root / leaf→t_pos legs, which would price a corner turn at the
+    # shared node the reference never sees.
+    adjacent = (~direct) & (root == leaf)
     mid = np.where(
-        direct,
+        direct | adjacent,
         np.where(straight >= 1.0, b_st, np.nan),
         np.where(tail_s >= 1.0, b_sp, np.nan),
     )
-    c_pt = np.where(direct, np.nan, np.where(tail_t >= 1.0, b_pt, np.nan))
+    c_pt = np.where(direct | adjacent, np.nan, np.where(tail_t >= 1.0, b_pt, np.nan))
     prev = np.full(n_pairs, np.nan)
     inv_sum = np.zeros(n_pairs, dtype=np.float64)
     cnt = np.zeros(n_pairs, dtype=np.int64)
@@ -679,7 +688,16 @@ def match_trajectories(
             simple.append(d)
         else:
             try:
-                results[d] = match_trajectory(net, all_lons[d], all_lats[d], opts)
+                # pass the ORIGINAL (untruncated) arrays: match_trajectory
+                # applies its own max_layers windowing while keeping global
+                # seq numbering — feeding it the pre-truncated window would
+                # emit window-relative seqs, breaking the (doc_id, seq) key
+                results[d] = match_trajectory(
+                    net,
+                    np.asarray(docs[d][0], dtype=np.float64),
+                    np.asarray(docs[d][1], dtype=np.float64),
+                    opts,
+                )
             except MatchError as e:
                 results[d] = e
 

@@ -380,6 +380,13 @@ class CellNetwork:
         that edge. The reference's R-tree would over-select it (envelope
         test only); ours bounds index replication to O(length/tile), which
         is what keeps street-zoom binning feasible for motorway geometry."""
+        if distance_m > self.search_radius_m:
+            raise ValueError(
+                f"distance_m={distance_m} exceeds the bin build radius "
+                f"{self.search_radius_m}m — candidate bins only cover edges "
+                "within the build radius; rebuild the network with a larger "
+                "search_radius_m instead of widening the query"
+            )
         rows = self._bins.get(int(cells.lonlat_to_cell(lon, lat, self.join_zoom)))
         if rows is None or rows.size == 0:
             return np.empty(0, dtype=np.int64)
@@ -427,6 +434,11 @@ class CellNetwork:
         (ordered ascending (edge_id, dir) like the per-point path).
         """
         d = self.search_radius_m if distance_m is None else distance_m
+        if d > self.search_radius_m:
+            raise ValueError(
+                f"distance_m={d} exceeds the bin build radius "
+                f"{self.search_radius_m}m (bins under-select beyond it)"
+            )
         lons = np.asarray(lons, dtype=np.float64)
         lats = np.asarray(lats, dtype=np.float64)
         n = lons.size
@@ -527,7 +539,10 @@ class NetworkStore:
         if cell not in self._known:
             return None
         tbl = self._cells.get(cell)
-        if tbl is None:
+        if tbl is not None:
+            # true LRU: refresh recency on hit (not insertion-order FIFO)
+            self._cells[cell] = self._cells.pop(cell)
+        else:
             path = os.path.join(self.store_dir, "edges", f"cell={cell}")
             parts = [
                 pq.read_table(os.path.join(path, f))
@@ -550,7 +565,9 @@ class NetworkStore:
     def network_for_cells(self, cell_set: tuple, search_radius_m: float = DEFAULT_SEARCH_DISTANCE_M) -> CellNetwork:
         key = (cell_set, search_radius_m)
         net = self._networks.get(key)
-        if net is None:
+        if net is not None:
+            self._networks[key] = self._networks.pop(key)  # LRU refresh
+        else:
             tables = [t for c in cell_set if (t := self._load_cell(c)) is not None]
             if tables:
                 tbl = pa.concat_tables(tables)

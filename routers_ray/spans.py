@@ -29,8 +29,11 @@ SPAN_STRUCT = pa.struct(
 )
 DOCS_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_STRUCT))])
 
-# "<lon> <lat> <ts_us>" — fixed-point decimals, integer timestamp
-_POINT_RE = r"^-?\d+(\.\d+)?\s-?\d+(\.\d+)?\s\d+$"
+# "<lon> <lat> <ts_us>" — fixed-point decimals, integer timestamp. Literal
+# spaces (not \s): the payload is split with pc.split_pattern(text, " "), so
+# the matcher and splitter must agree — a tab-separated lookalike must NOT
+# match the regex and then fail the float cast (poison-pill isolation).
+_POINT_RE = r"^-?\d+(\.\d+)? -?\d+(\.\d+)? \d+$"
 
 
 def _spans_chunks(spans_col) -> pa.ListArray:

@@ -1,0 +1,197 @@
+"""Regression tests for the round-1 ADVICE findings.
+
+Each test pins one fixed divergence:
+- adjacent-edge routed hops price the reference's EMPTY map_path heading
+  chain (``map_path/entity.rs:246-267``), not a phantom corner at the
+  shared node;
+- ``match_trajectories``' per-doc fallback keeps global seq numbering
+  under ``max_layers`` windowing;
+- tab-separated point-lookalike spans are inert (regex and splitter agree);
+- candidate queries beyond the bin build radius fail loudly;
+- the shard/predicate caches are true LRUs (hits refresh recency).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from routers_ray.geo import angular_complexity, bearing_deg, haversine_m
+from routers_ray.matcher import (
+    MatchOptions,
+    MatchedLayer,
+    _predicates,
+    _TrajectoryContext,
+    generate_layers,
+    match_trajectories,
+    match_trajectory,
+)
+from routers_ray.trellis import MAX_WEIGHT
+
+from test_mock_scenarios import mock_net
+
+
+def _l_corner():
+    """Two one-way edges meeting at a right angle: A 1→2 east, B 2→3 north.
+    Long enough (~1.1 km) that a point near one edge's middle is far outside
+    the other's 50 m search radius."""
+    return mock_net(
+        {1: (0.0, 0.0), 2: (0.01, 0.0), 3: (0.01, 0.01)},
+        [(1, 2, False), (2, 3, False)],
+    )
+
+
+def test_adjacent_edge_hop_uses_direct_heading_chain():
+    """source.edge.target == target.edge.source ⇒ the reference's routed
+    path has zero edges and ``path_nodes()`` is empty, so the heading chain
+    is [h_s, bearing(s_pos→t_pos), h_t] — NOT the s_pos→node / node→t_pos
+    legs (ADVICE round 1, matcher.py:434)."""
+    net = _l_corner()
+    lons = [0.003, 0.0102]
+    lats = [0.0002, 0.007]
+    opts = MatchOptions()
+    layers = generate_layers(net, lons, lats, opts)
+    assert [ly.edge_rows.size for ly in layers] == [1, 1]
+
+    ctx = _TrajectoryContext(net, layers, opts)
+    t = ctx.weigh_all()
+    got = int(t.boundaries[0][0, 0])
+
+    # expected cost from the reference chain, recomputed from first principles
+    s_row = int(layers[0].edge_rows[0])
+    t_row = int(layers[1].edge_rows[0])
+    s_lon, s_lat = float(layers[0].pos_lon[0]), float(layers[0].pos_lat[0])
+    t_lon, t_lat = float(layers[1].pos_lon[0]), float(layers[1].pos_lat[0])
+    h_s = float(net.heading[s_row])
+    h_t = float(net.heading[t_row])
+    straight = float(haversine_m(s_lon, s_lat, t_lon, t_lat))
+    # shared node 2
+    n_lon, n_lat = 0.01, 0.0
+    tail_s = float(haversine_m(s_lon, s_lat, n_lon, n_lat))
+    tail_t = float(haversine_m(n_lon, n_lat, t_lon, t_lat))
+    route_len = tail_s + tail_t  # empty interior path
+    dev = straight / route_len
+    turn = angular_complexity(
+        np.array([s_lon, t_lon]), np.array([s_lat, t_lat]),
+        start_heading=h_s, end_heading=h_t,
+    )
+    cont = 1.0  # equal weights
+    score = math.sqrt(
+        min(max(dev, 1e-6), 1.0) * min(max(turn, 1e-6), 1.0) * cont
+    )
+    expected = min(int(100.0 / min(max(score, 1e-6), 1.0)), MAX_WEIGHT)
+    assert got == expected
+
+    # and it differs from the buggy corner-pricing chain (the corner at the
+    # shared node adds a ~90° delta the reference never sees)
+    bad_turn = angular_complexity(
+        np.array([s_lon, n_lon, t_lon]), np.array([s_lat, n_lat, t_lat]),
+        start_heading=h_s, end_heading=h_t,
+    )
+    assert bad_turn != pytest.approx(turn)
+
+
+def test_fallback_seq_numbering_stays_global():
+    """A doc with an unanchored point + max_layers takes the per-doc
+    fallback inside match_trajectories; its seqs must be global indices,
+    identical to a direct match_trajectory call on the full arrays."""
+    net = mock_net(
+        {1: (-118.15, 34.15), 2: (-118.16, 34.15), 3: (-118.17, 34.15)},
+        [(1, 2, False), (2, 3, False)],
+    )
+    lons = [-118.151, -118.153, -118.50, -118.157, -118.160, -118.163, -118.166]
+    lats = [34.1502] * 7
+    lats[2] = 35.0  # far off-network → unanchored
+    opts = MatchOptions(max_layers=5, drop_unanchored=True)
+
+    direct = match_trajectory(net, lons, lats, opts)
+    [batched] = match_trajectories(net, [(lons, lats)], opts)
+    assert not isinstance(batched, Exception)
+    assert [ml.seq for ml in batched.layers] == [ml.seq for ml in direct.layers]
+    assert batched.dropped_seqs == direct.dropped_seqs
+    # seqs are global (window covers the tail of the 7-point doc)
+    assert [ml.seq for ml in direct.layers] == [3, 4, 5, 6]
+
+
+def test_tab_separated_point_lookalike_is_inert():
+    """spans regex uses literal spaces like the splitter — a tab-separated
+    lookalike is an ordinary text span, not a batch-killing poison pill."""
+    import pyarrow as pa
+
+    from routers_ray.spans import DOCS_SCHEMA, parse_trajectories
+
+    docs = pa.table(
+        {
+            "doc_id": ["a"],
+            "spans": [
+                [
+                    {"kind": "text", "text": "-118.0\t34.0\t1", "media_ref": "", "offset": 0},
+                    {"kind": "text", "text": "-118.0 34.0 2", "media_ref": "", "offset": 1},
+                ]
+            ],
+        },
+        schema=DOCS_SCHEMA,
+    )
+    out = parse_trajectories(docs)
+    assert out["n_pts"].to_pylist() == [1]  # only the space-separated span
+
+
+def test_distance_beyond_bin_radius_raises():
+    net = _l_corner()  # built with the default 50 m radius
+    with pytest.raises(ValueError):
+        net.candidates_at(0.003, 0.0002, distance_m=500.0)
+    with pytest.raises(ValueError):
+        net.candidates_batch(np.array([0.003]), np.array([0.0002]), 500.0)
+
+
+def test_predicate_cache_is_true_lru():
+    net = _l_corner()
+    net._pred_cache.clear()
+    _predicates(net, 0, 2_000_0 * 100)
+    _predicates(net, 1, 2_000_0 * 100)
+    _predicates(net, 0, 2_000_0 * 100)  # hit → refresh recency
+    assert list(net._pred_cache) == [1, 0]
+
+
+def test_network_store_caches_are_true_lru(tmp_path):
+    import pyarrow as pa
+
+    from routers_ray.network import NetworkStore, build_network_store
+
+    # tiny 2-cell network store
+    nodes = {1: (0.0, 0.0), 2: (0.01, 0.0), 3: (0.01, 0.01), 4: (40.0, 40.0), 5: (40.01, 40.0)}
+    edges = [(1, 2), (2, 3), (4, 5)]
+    nodes_tbl = pa.table(
+        {
+            "node_id": pa.array(list(nodes), pa.int64()),
+            "lon": pa.array([v[0] for v in nodes.values()], pa.float64()),
+            "lat": pa.array([v[1] for v in nodes.values()], pa.float64()),
+        }
+    )
+    edges_tbl = pa.table(
+        {
+            "edge_id": pa.array(range(len(edges)), pa.int64()),
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+            "weight": pa.array([1] * len(edges), pa.uint32()),
+            "dir": pa.array([0] * len(edges), pa.uint8()),
+            "accessible": pa.array([True] * len(edges), pa.bool_()),
+        }
+    )
+    store_dir = str(tmp_path / "store")
+    build_network_store(nodes_tbl, edges_tbl, store_dir, use_ray=False)
+    store = NetworkStore(store_dir)
+    cells = sorted(store._known)
+    assert len(cells) >= 2
+    a, b = cells[0], cells[1]
+    store._load_cell(a)
+    store._load_cell(b)
+    store._load_cell(a)  # hit → refresh
+    order = list(store._cells)
+    assert order[-1] == a
+
+    store.network_for_cells((a,))
+    store.network_for_cells((b,))
+    store.network_for_cells((a,))
+    net_order = list(store._networks)
+    assert net_order[-1][0] == (a,)
