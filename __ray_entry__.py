@@ -49,4 +49,10 @@ def oracle_sql() -> dict[str, str]:
     names/types; integer-exact aggregates; half-up float rounding)."""
     from routers_ray.pipelines.queries import registry
 
-    return {name: sql for name, (_fn, sql) in registry().items() if sql is not None}
+    # sql may be a lazy zero-arg callable (the flagship match/match_tiles
+    # oracles generate their expected parquet on first resolution)
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_fn, sql) in registry().items()
+        if sql is not None
+    }

@@ -109,13 +109,14 @@ class MediaFeatureExtractor:
 
 def resize_plan_batch(batch: pa.Table, target: int = 224) -> pa.Table:
     """Resize planning (pure metadata math — real): target dims preserving
-    aspect ratio, shorter side → ``target``."""
+    aspect ratio, shorter side → ``target``. Half-up rounding
+    (``floor(x+0.5)``) — exact and engine-portable, unlike banker's."""
     w = np.asarray(batch["width"], dtype=np.float64)
     h = np.asarray(batch["height"], dtype=np.float64)
     scale = target / np.minimum(w, h)
     return batch.append_column(
-        "resize_w", pa.array(np.round(w * scale).astype(np.int32), pa.int32())
-    ).append_column("resize_h", pa.array(np.round(h * scale).astype(np.int32), pa.int32()))
+        "resize_w", pa.array(np.floor(w * scale + 0.5).astype(np.int32), pa.int32())
+    ).append_column("resize_h", pa.array(np.floor(h * scale + 0.5).astype(np.int32), pa.int32()))
 
 
 def frame_sample_plan_batch(batch: pa.Table, fps: float = 1.0) -> pa.Table:

@@ -1,0 +1,436 @@
+"""Driver-side expected values for the flagship ``match`` / ``match_tiles``
+queries — the independent side of the driver's DuckDB oracle check.
+
+The reference pins its matcher with golden node-id sequences asserted in
+benches (``routers_fixtures/src/lib.rs:32-227``, ``benches/map_match.rs:60-70``)
+and a Viterbi-vs-brute-force solver A/B (``solver/brute.rs:21-95``). This
+module is our driver-visible analogue: it recomputes the expected matched
+rows for the deterministic synth world WITHOUT the Ray pipeline, writes
+them to Parquet, and the registered oracle SQL simply selects them — so the
+driver's rows+schema+hash compare becomes a real independent check of the
+distributed pipeline.
+
+Independence boundary (stated, not hidden):
+
+* **independent** — span parsing (Python ``re`` over row objects, not the
+  Arrow kernel), trellis solving (pure-Python Viterbi loops with the
+  reference tie-breaks, not the vectorized solver), result assembly
+  (scalar, not the pipeline's Arrow writer), slippy/Morton cell packing,
+  FNV-1a / splitmix64 / Hilbert (plain-int reimplementations), rounding.
+* **shared** — candidate generation + the weigh kernel (both carry their
+  own brute-force oracles in tests/test_kernels.py and
+  tests/test_trellis_oracle.py; duplicating float kernels would make the
+  comparison flaky at the last bit without adding verification power).
+
+What the driver check therefore proves end-to-end: pipeline plumbing
+(parse → anchor/salt → route → actor pool → Arrow assembly), the
+vectorized Viterbi, seq numbering, snap/cell emission, and the whole tile
+materialization path (partial agg → merge → hilbert → sort).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_POINT_RE = re.compile(r"-?\d+(\.\d+)? -?\d+(\.\d+)? \d+")
+
+_U64 = (1 << 64) - 1
+
+
+# ---------------------------------------------------------------------------
+# independent scalar kernels (plain Python ints / math module)
+
+
+def _fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & _U64
+    return h
+
+
+def _splitmix64(x: int) -> int:
+    x &= _U64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _U64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _U64
+    x ^= x >> 31
+    return x
+
+
+def _tile_xy(lon: float, lat: float, z: int) -> tuple[int, int]:
+    lat = min(max(lat, -85.05112878), 85.05112878)
+    n = 1 << z
+    x = math.floor((lon + 180.0) / 360.0 * n)
+    lat_r = math.radians(lat)
+    y = math.floor((1.0 - math.log(math.tan(lat_r) + 1.0 / math.cos(lat_r)) / math.pi) / 2.0 * n)
+    return int(min(max(x, 0), n - 1)), int(min(max(y, 0), n - 1))
+
+
+def _morton(x: int, y: int) -> int:
+    def part(v: int) -> int:
+        r = 0
+        for i in range(32):
+            r |= ((v >> i) & 1) << (2 * i)
+        return r
+
+    return part(x) | (part(y) << 1)
+
+
+def _cell_id(lon: float, lat: float, z: int) -> int:
+    x, y = _tile_xy(lon, lat, z)
+    return _morton(x, y) | (1 << (2 * z))
+
+
+def _hilbert_xy2d(x: int, y: int, z: int) -> int:
+    d = 0
+    s = 1 << max(z - 1, 0)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _r6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _viterbi_scalar(node_weights, boundaries, inf):
+    """Pure-Python forward DP + backtrack; reference tie-breaks (min cost,
+    lowest node — ``viterbi.rs:105-162``). Independent of the vectorized
+    solver in :mod:`routers_ray.trellis`."""
+    L = len(node_weights)
+    dist = [[int(w) for w in node_weights[0]]]
+    for b in range(L - 1):
+        mat = boundaries[b]
+        cur = dist[-1]
+        nxt = []
+        for j in range(len(node_weights[b + 1])):
+            best = inf
+            for i in range(len(cur)):
+                if cur[i] >= inf:
+                    continue
+                c = cur[i] + int(mat[i][j])
+                if c < best:
+                    best = c
+            if best < inf:
+                best += int(node_weights[b + 1][j])
+            nxt.append(best)
+        dist.append(nxt)
+    last = dist[-1]
+    best_cost, final = inf, -1
+    for j, c in enumerate(last):
+        if c < best_cost:  # strict < keeps the LOWEST node on ties
+            best_cost, final = c, j
+    if final < 0 or best_cost >= inf:
+        return None
+    nodes = [0] * L
+    nodes[-1] = final
+    chosen = final
+    for b in range(L - 2, -1, -1):
+        mat = boundaries[b]
+        cur = dist[b]
+        bc, bi = None, -1
+        for i in range(len(cur)):
+            c = cur[i] + int(mat[i][chosen])
+            if bc is None or c < bc:
+                bc, bi = c, i
+        chosen = bi
+        nodes[b] = chosen
+    return nodes, int(best_cost)
+
+
+# ---------------------------------------------------------------------------
+# expected match rows
+
+
+def _parse_doc_points(spans) -> tuple[list[float], list[float]]:
+    """Span list (python objects) → point lists; independent re-based parse
+    mirroring the '<lon> <lat> <ts>' text-span contract."""
+    lons, lats = [], []
+    for s in spans:
+        if s["kind"] == "text" and s["text"] is not None and _POINT_RE.fullmatch(s["text"]):
+            a, b, _ = s["text"].split(" ")
+            lons.append(float(a))
+            lats.append(float(b))
+    return lons, lats
+
+
+def expected_match_table(world: dict, out_zoom: int = 15) -> tuple[pa.Table, pa.Table]:
+    """(rounded q_match-shaped table, unrounded snap table for tiles).
+
+    Matches the q_match contract: ok rows only, columns (doc_id, seq,
+    edge_id, dir, src, dst, snap_lon, snap_lat, cost, cell) with r6 snaps
+    and int64 casts.
+    """
+    from .matcher import MatchOptions, _TrajectoryContext, generate_layers
+    from .network import NetworkStore
+    from .trellis import INF_W
+
+    store = NetworkStore(world["store"])
+    docs = pq.read_table(world["paths"]["parquet"]).to_pylist()
+    opts = MatchOptions()
+    buffer_m = opts.threshold_cm / 100.0 + opts.search_distance_m
+
+    o_doc, o_seq, o_eid, o_dir, o_src, o_dst = [], [], [], [], [], []
+    o_slon, o_slat, o_cost, o_cell = [], [], [], []
+    u_lon, u_lat = [], []
+    for doc in docs:
+        lons, lats = _parse_doc_points(doc["spans"])
+        if not lons:
+            continue  # unanchored → no ok rows
+        net = store.network_for_bbox(
+            min(lons), min(lats), max(lons), max(lats),
+            buffer_m=buffer_m, search_radius_m=opts.search_distance_m,
+        )
+        layers = generate_layers(net, np.asarray(lons), np.asarray(lats), opts)
+        if any(ly.edge_rows.size == 0 for ly in layers):
+            continue  # batch-mode unanchored reject → error row only
+        ctx = _TrajectoryContext(net, layers, opts)
+        trellis = ctx.weigh_all()
+        if trellis.pending_boundaries():
+            continue  # disconnected
+        solved = _viterbi_scalar(
+            trellis.node_weights, [b for b in trellis.boundaries], INF_W
+        )
+        if solved is None:
+            continue  # unreachable
+        nodes, cost = solved
+        for k, c in enumerate(nodes):
+            row = int(layers[k].edge_rows[c])
+            slon = float(layers[k].pos_lon[c])
+            slat = float(layers[k].pos_lat[c])
+            o_doc.append(doc["doc_id"])
+            o_seq.append(k)
+            o_eid.append(int(net.edge_id[row]))
+            o_dir.append(int(net.dir[row]))
+            o_src.append(int(net.src[row]))
+            o_dst.append(int(net.dst[row]))
+            o_slon.append(_r6(slon))
+            o_slat.append(_r6(slat))
+            o_cost.append(cost)
+            o_cell.append(_cell_id(slon, slat, out_zoom))
+            u_lon.append(slon)
+            u_lat.append(slat)
+
+    rounded = pa.table(
+        {
+            "doc_id": pa.array(o_doc, pa.string()),
+            "seq": pa.array(o_seq, pa.int64()),
+            "edge_id": pa.array(o_eid, pa.int64()),
+            "dir": pa.array(o_dir, pa.int64()),
+            "src": pa.array(o_src, pa.int64()),
+            "dst": pa.array(o_dst, pa.int64()),
+            "snap_lon": pa.array(o_slon, pa.float64()),
+            "snap_lat": pa.array(o_slat, pa.float64()),
+            "cost": pa.array(o_cost, pa.int64()),
+            "cell": pa.array(np.asarray(o_cell, dtype=np.uint64).view(np.int64), pa.int64()),
+        }
+    )
+    unrounded = pa.table(
+        {
+            "doc_id": pa.array(o_doc, pa.string()),
+            "seq": pa.array(o_seq, pa.int64()),
+            "snap_lon": pa.array(u_lon, pa.float64()),
+            "snap_lat": pa.array(u_lat, pa.float64()),
+        }
+    )
+    return rounded, unrounded
+
+
+def expected_tiles_table(unrounded: pa.Table, zooms: list[int]) -> pa.Table:
+    """q_match_tiles-shaped expected table from the unrounded snap rows —
+    fully independent scalar slippy/digest/hilbert math."""
+    agg: dict[tuple[int, int, int], list[int]] = {}
+    doc_ids = unrounded["doc_id"].to_pylist()
+    seqs = unrounded["seq"].to_pylist()
+    lons = unrounded["snap_lon"].to_pylist()
+    lats = unrounded["snap_lat"].to_pylist()
+    for d, s, lon, lat in zip(doc_ids, seqs, lons, lats):
+        digest = _splitmix64(_fnv1a64(d) ^ (int(s) & _U64))
+        for z in zooms:
+            x, y = _tile_xy(lon, lat, z)
+            k = (z, x, y)
+            if k in agg:
+                agg[k][0] += 1
+                agg[k][1] = (agg[k][1] + digest) & _U64
+            else:
+                agg[k] = [1, digest]
+    rows = []
+    for (z, x, y), (n, dsum) in agg.items():
+        rows.append((z, x, y, n, dsum, _hilbert_xy2d(x, y, z)))
+    rows.sort(key=lambda r: (r[0], r[5]))
+    return pa.table(
+        {
+            "z": pa.array([r[0] for r in rows], pa.int64()),
+            "x": pa.array([r[1] for r in rows], pa.int64()),
+            "y": pa.array([r[2] for r in rows], pa.int64()),
+            "n_points": pa.array([r[3] for r in rows], pa.int64()),
+            "doc_ids_hash": pa.array(
+                np.asarray([r[4] for r in rows], dtype=np.uint64).view(np.int64), pa.int64()
+            ),
+            "hilbert": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+_EXPECTED_PATHS: dict[int, dict[str, str]] = {}
+
+
+def expected_parquet_paths(world: dict, n_docs: int, zooms=(10, 13)) -> dict[str, str]:
+    """Compute + write the expected match/tiles parquet once per process;
+    returns {'match': path, 'match_tiles': path} for the oracle SQL."""
+    hit = _EXPECTED_PATHS.get(n_docs)
+    if hit is not None:
+        return hit
+    rounded, unrounded = expected_match_table(world)
+    tiles = expected_tiles_table(unrounded, list(zooms))
+    out = tempfile.mkdtemp(prefix="routers_ray_oracle_")
+    paths = {
+        "match": os.path.join(out, "match_expected.parquet"),
+        "match_tiles": os.path.join(out, "match_tiles_expected.parquet"),
+    }
+    pq.write_table(rounded, paths["match"])
+    pq.write_table(tiles, paths["match_tiles"])
+    _EXPECTED_PATHS[n_docs] = paths
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# planted near-dup world: the minhash oracle
+#
+# The driver's documents table is sf-dependent, but oracle SQL strings are
+# resolved without an sf context — so the oracled MinHash query runs over a
+# DETERMINISTIC planted corpus (like the match world), and this module
+# recomputes the expected verified pairs with an independent scalar
+# implementation (pure-Python md5/splitmix64/min — no numpy, no Arrow).
+
+_PLANTED: dict[str, object] = {}
+
+
+def planted_dup_corpus(n_docs: int = 240, seed: int = 7):
+    """Deterministic corpus with planted exact + near duplicates.
+
+    ~1/6 of docs are near-copies of an earlier doc (one token changed),
+    ~1/12 exact copies; the rest independent. Cached per process."""
+    import pyarrow as pa
+
+    if "corpus" in _PLANTED:
+        return _PLANTED["corpus"]
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    texts: list[str] = []
+    for i in range(n_docs):
+        if i >= 10 and i % 12 == 0:
+            texts.append(texts[i - 10])  # exact dup
+        elif i >= 7 and i % 6 == 0:
+            words = texts[i - 7].split()
+            j = int(rng.integers(0, len(words)))
+            words[j] = vocab[int(rng.integers(0, len(vocab)))]
+            texts.append(" ".join(words))  # near dup
+        else:
+            k = int(rng.integers(30, 60))
+            texts.append(" ".join(vocab[int(x)] for x in rng.integers(0, len(vocab), k)))
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(n_docs, dtype=np.int64), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    _PLANTED["corpus"] = tbl
+    return tbl
+
+
+def _scalar_minhash_pairs(
+    tbl, threshold: float = 0.8, n_perm: int = 64, bands: int = 16, shingle_k: int = 3
+):
+    """Independent scalar MinHash-LSH + Jaccard verify (pure-Python ints +
+    hashlib; mirrors the published algorithm, not the repo's numpy path)."""
+    import hashlib
+
+    GOLD = 0x9E3779B97F4A7C15
+    docs = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    r = n_perm // bands
+    sigs = {}
+    shingle_sets = {}
+    for did, text in docs:
+        toks = (text or "").split()
+        if len(toks) < shingle_k:
+            sh = [" ".join(toks)] if toks else []
+        else:
+            sh = [" ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)]
+        shingle_sets[did] = set(sh)
+        ids = [
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little") for s in sh
+        ]
+        sig = []
+        for p in range(1, n_perm + 1):
+            seed_mul = (p * GOLD) & _U64
+            if ids:
+                sig.append(min(_splitmix64(h ^ seed_mul) for h in ids))
+            else:
+                sig.append(_U64)
+        sigs[did] = sig
+
+    buckets: dict[tuple[int, bytes], list[int]] = {}
+    for did, sig in sigs.items():
+        for b in range(bands):
+            block = b"".join(v.to_bytes(8, "little") for v in sig[b * r : (b + 1) * r])
+            key = (b, hashlib.md5(block).digest()[:8])
+            buckets.setdefault(key, []).append(did)
+
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+
+    out = []
+    for a, b in sorted(pairs):
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        if not sa and not sb:
+            jac = 1.0
+        elif not sa or not sb:
+            jac = 0.0
+        else:
+            jac = len(sa & sb) / len(sa | sb)
+        if jac >= threshold:
+            out.append((a, b, jac))
+    return out
+
+
+def planted_minhash_expected_path() -> str:
+    """Expected verified pairs of the planted corpus, written once."""
+    hit = _PLANTED.get("expected_path")
+    if hit is not None:
+        return hit
+    tbl = planted_dup_corpus()
+    rows = _scalar_minhash_pairs(tbl)
+    out_dir = tempfile.mkdtemp(prefix="routers_ray_oracle_minhash_")
+    path = os.path.join(out_dir, "minhash_expected.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+                "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+                "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        ),
+        path,
+    )
+    _PLANTED["expected_path"] = path
+    return path

@@ -709,9 +709,43 @@ def q_minhash_pairs(sf_dir: str):
     return dedup_minhash(ds)
 
 
+def q_minhash_planted(sf_dir: str):
+    """MinHash-LSH near-dup pipeline over the deterministic planted-dup
+    corpus — the fully-oracled variant: the driver compares the distributed
+    band-shuffle + pair-join + in-batch verify against an independent
+    scalar recomputation (``oracle_match._scalar_minhash_pairs``)."""
+    import ray.data as rd
+
+    from ..oracle_match import planted_dup_corpus
+    from ..text import dedup_minhash
+
+    ds = rd.from_arrow(planted_dup_corpus())
+    out = dedup_minhash(ds)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "jaccard": t["jaccard"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sql_minhash_planted() -> str:
+    from ..oracle_match import planted_minhash_expected_path
+
+    return (
+        "SELECT doc_a, doc_b, jaccard FROM "
+        f"read_parquet('{planted_minhash_expected_path()}')"
+    )
+
+
 def q_simhash(sf_dir: str):
     """64-bit SimHash fingerprints (bit-majority over token hashes).
-    Non-SQL (rows-only)."""
+    Emits the signature as int64 (two's-complement view) so both engines
+    compare a signed column."""
     import ray.data as rd
 
     from ..text import simhash_batch
@@ -720,9 +754,47 @@ def q_simhash(sf_dir: str):
 
     def _s(b: pa.Table) -> pa.Table:
         out = simhash_batch(b)
-        return pa.table({"doc_id": pc.cast(out["doc_id"], pa.int64()), "simhash": out["simhash"]})
+        sh = np.asarray(out["simhash"]).astype(np.uint64).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(out["doc_id"], pa.int64()),
+                "simhash": pa.array(sh, pa.int64()),
+            }
+        )
 
     return ds.map_batches(_s, batch_format="pyarrow")
+
+
+def sql_simhash() -> str:
+    # DuckDB md5_number_upper(t) == first 8 md5 digest bytes little-endian ==
+    # our token_hashes_64 convention (verified); bit-majority vote per bit
+    # via a 64-row generate_series cross join, then wrap to signed
+    return r"""
+    WITH toks AS (
+      SELECT doc_id, md5_number_upper(tok) AS h
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(coalesce(text, ''), '\s+')) AS tok
+        FROM documents
+      )
+      WHERE tok <> ''
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM toks, (SELECT unnest(generate_series(0, 63)) AS b)
+      GROUP BY doc_id, b
+    ),
+    sigs AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0 THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT) ELSE 0 END) AS s
+      FROM votes GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN coalesce(s.s, 0) >= 9223372036854775808
+                     THEN coalesce(s.s, 0) - 18446744073709551616
+                     ELSE coalesce(s.s, 0) END AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN sigs s USING (doc_id)
+    """
 
 
 def q_langid(sf_dir: str):
@@ -745,6 +817,38 @@ def q_langid(sf_dir: str):
         )
 
     return ds.map_batches(_l, batch_format="pyarrow")
+
+
+def sql_langid() -> str:
+    from ..text import LANG_PROFILES
+
+    score_cols = ",\n      ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in prof)
+        + f"])) AS s_{lang}"
+        for lang, prof in LANG_PROFILES
+    )
+    langs = [lang for lang, _ in LANG_PROFILES]
+    m_expr = "greatest(" + ", ".join(f"s_{x}" for x in langs) + ")"
+    # earlier profile wins ties — CASE order mirrors the Python scan order
+    pred_cases = " ".join(f"WHEN s_{x} = m THEN '{x}'" for x in langs)
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(coalesce(text, '')), '\s+')) AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+      {score_cols}
+      FROM t
+    ),
+    p AS (SELECT doc_id, s.*, {m_expr} AS m FROM s)
+    SELECT doc_id,
+           CASE WHEN m = 0 THEN 'unk' {pred_cases} END AS lang_pred,
+           floor(m / 6.0 * 1e6 + 0.5) / 1e6 AS lang_conf
+    FROM p
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -881,6 +985,31 @@ def q_media_features(sf_dir: str):
     )
 
 
+def sql_media_features() -> str:
+    # synth_media_rows derives metadata from md5("media://d{doc_id}/{k}"):
+    # byte i of the digest == (md5_number_upper >> 8*i) & 255 (little-endian
+    # first-8-bytes convention, same as the token hashes); payload_len 256;
+    # resize scale = 224/min(w,h), half-up rounding — all exact in SQL
+    return r"""
+    WITH refs AS (
+      SELECT 'd' || CAST(doc_id AS VARCHAR) AS doc_id,
+             'media://d' || CAST(doc_id AS VARCHAR) || '/' || CAST(k AS VARCHAR) AS ref
+      FROM documents, (SELECT unnest([0, 1]) AS k)
+    ),
+    m AS (
+      SELECT doc_id,
+             64 + CAST((md5_number_upper(ref) >> 8) & 255 AS BIGINT) % 192 AS w,
+             64 + CAST((md5_number_upper(ref) >> 16) & 255 AS BIGINT) % 192 AS h
+      FROM refs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_media,
+           SUM(256) AS sum_payload_bytes,
+           CAST(SUM(floor(w * (224.0 / least(w, h)) + 0.5)) AS BIGINT) AS sum_resize_w
+    FROM m GROUP BY doc_id
+    """
+
+
 _MATCH_WORLD: dict = {}
 
 
@@ -931,6 +1060,35 @@ def q_match(sf_dir: str):
             }
         ),
         batch_format="pyarrow",
+    )
+
+
+def sql_match() -> str:
+    """Oracle SQL for the flagship match: selects the driver-side expected
+    rows recomputed WITHOUT the Ray pipeline (independent span parse +
+    pure-Python Viterbi + scalar assembly — see
+    :mod:`routers_ray.oracle_match` for the stated independence boundary).
+    Lazy: generating the expected parquet costs a couple of seconds, so the
+    registry stores this callable and resolvers call it on demand."""
+    from ..oracle_match import expected_parquet_paths
+
+    p = expected_parquet_paths(_match_world(), 120)
+    return (
+        "SELECT doc_id, seq, edge_id, dir, src, dst, snap_lon, snap_lat, "
+        f"cost, cell FROM read_parquet('{p['match']}')"
+    )
+
+
+def sql_match_tiles() -> str:
+    """Oracle SQL for the tile materialization — expected tiles built by an
+    independent scalar slippy/FNV-1a/splitmix64/Hilbert path over the
+    expected match rows."""
+    from ..oracle_match import expected_parquet_paths
+
+    p = expected_parquet_paths(_match_world(), 120)
+    return (
+        "SELECT z, x, y, n_points, doc_ids_hash, hilbert "
+        f"FROM read_parquet('{p['match_tiles']}')"
     )
 
 
@@ -1213,14 +1371,17 @@ def registry() -> dict[str, tuple]:
         "lang_source_stats": (q_lang_source_stats, sql_lang_source_stats()),
         "fingerprint": (q_fingerprint, sql_fingerprint()),
         "minhash_pairs": (q_minhash_pairs, None),
-        "simhash": (q_simhash, None),
-        "langid": (q_langid, None),
+        "minhash_planted": (q_minhash_planted, sql_minhash_planted),
+        "simhash": (q_simhash, sql_simhash()),
+        "langid": (q_langid, sql_langid()),
         "ann_topk": (q_ann_topk, sql_ann_topk()),
         "ann_lsh": (q_ann_lsh, None),
         "embed_norms": (q_embed_norms, sql_embed_norms()),
-        "media_features": (q_media_features, None),
-        "match": (q_match, None),
-        "match_tiles": (q_match_tiles, None),
+        "media_features": (q_media_features, sql_media_features()),
+        # sql side is a LAZY callable (expected-parquet generation is paid
+        # only when an oracle consumer resolves it)
+        "match": (q_match, sql_match),
+        "match_tiles": (q_match_tiles, sql_match_tiles),
         "timezone": (q_timezone, sql_timezone()),
         "sessionize": (q_sessionize, sql_sessionize()),
         "embed_dups": (q_embed_dups, sql_embed_dups()),

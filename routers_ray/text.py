@@ -85,28 +85,59 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+# ordered: earlier language wins score ties (strict > while scanning)
+LANG_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and", "of", "a", "to", "is")),
+    ("de", ("der", "die", "und", "das", "ist", "ein")),
+    ("fr", ("le", "la", "et", "les", "des", "est")),
+    ("es", ("el", "la", "y", "de", "que", "los")),
+    ("it", ("il", "la", "e", "di", "che", "un")),
+)
+
+
 def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic language id over a tiny per-language stopword profile —
     the n-gram-free variant that works on the synthetic corpus. Emits
-    ``lang_pred`` + ``lang_conf``."""
-    profiles = {
-        "en": {"the", "and", "of", "a", "to", "is"},
-        "de": {"der", "die", "und", "das", "ist", "ein"},
-        "fr": {"le", "la", "et", "les", "des", "est"},
-        "es": {"el", "la", "y", "de", "que", "los"},
-        "it": {"il", "la", "e", "di", "che", "un"},
-    }
-    texts = batch[text_col].to_pylist()
-    preds, confs = [], []
-    for t in texts:
-        words = set((t or "").lower().split())
-        best, score = "unk", 0
-        for lang, prof in profiles.items():
-            s = len(words & prof)
-            if s > score:
-                best, score = lang, s
-        preds.append(best)
-        confs.append(float(score) / 6.0)
+    ``lang_pred`` + ``lang_conf``.
+
+    Vectorized: Arrow lower+split once, then one ``pc.equal`` +
+    segment-any per profile word (30 passes over the flat token array —
+    no per-row Python)."""
+    texts = pc.fill_null(batch[text_col], "")
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+    flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    offsets = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    words = flat.flatten()
+    n = len(batch)
+    counts = np.diff(offsets)
+
+    def _present(word: str) -> np.ndarray:
+        eq = pc.fill_null(pc.equal(words, word), False).to_numpy(zero_copy_only=False)
+        if eq.size == 0:
+            return np.zeros(n, dtype=bool)
+        # pad one zero so an offset == eq.size stays a valid reduceat index;
+        # empty-doc segments read a neighbour's element but are masked below
+        eqp = np.concatenate([eq.astype(np.int64), [0]])
+        seg = np.add.reduceat(eqp, offsets[:-1])
+        return (seg > 0) & (counts > 0)
+
+    scores = np.zeros((len(LANG_PROFILES), n), dtype=np.int64)
+    for li, (_, prof) in enumerate(LANG_PROFILES):
+        for w in prof:
+            scores[li] += _present(w)
+
+    best_score = np.zeros(n, dtype=np.int64)
+    best_idx = np.full(n, -1, dtype=np.int64)
+    for li in range(len(LANG_PROFILES)):
+        better = scores[li] > best_score  # strict >: earlier profile wins ties
+        best_score = np.where(better, scores[li], best_score)
+        best_idx = np.where(better, li, best_idx)
+
+    names = np.asarray(["unk"] + [lang for lang, _ in LANG_PROFILES])
+    preds = names[best_idx + 1]
+    confs = best_score.astype(np.float64) / 6.0
     return batch.append_column("lang_pred", pa.array(preds, pa.string())).append_column(
         "lang_conf", pa.array(confs, pa.float64())
     )
@@ -121,6 +152,43 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         for t in texts
     ]
     return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket hygiene + vectorized popcount
+
+# All-pairs inside one LSH bucket is O(n²): a degenerate bucket (e.g. every
+# empty doc sharing one signature) is the skew bomb. Buckets are capped at a
+# deterministic lowest-id prefix, and the cap is LOGGED — silent truncation
+# would read as "covered everything".
+_MAX_BUCKET = 256
+
+
+def _log_bucket_cap(kind: str, size: int) -> None:
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s LSH bucket of %d docs exceeds cap %d — keeping the lowest-id "
+        "prefix; raise _MAX_BUCKET or add more bands if this is not a "
+        "degenerate-content bucket",
+        kind, size, _MAX_BUCKET,
+    )
+
+
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a 16-bit LUT (numpy<2 lacks
+    ``bitwise_count``)."""
+    x = np.asarray(x, dtype=np.uint64)
+    m = np.uint64(0xFFFF)
+    return (
+        _POP16[(x & m).astype(np.int64)].astype(np.int64)
+        + _POP16[((x >> np.uint64(16)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(32)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(48)) & m).astype(np.int64)]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -146,27 +214,96 @@ def minhash_signature(text: str, n_perm: int = 64, shingle_k: int = 3) -> np.nda
     return m.min(axis=1)
 
 
+def minhash_signatures_batch(
+    texts: pa.Array, n_perm: int = 64, shingle_k: int = 3
+) -> np.ndarray:
+    """Batched MinHash: (n_perm, n_docs) signature matrix, equal per column
+    to :func:`minhash_signature` of that doc.
+
+    Vectorized path: one Arrow split, shingles via
+    ``binary_join_element_wise`` over shifted token slices, md5 only per
+    UNIQUE shingle, and all permutations in one ``splitmix64`` matrix with
+    per-doc ``minimum.reduceat``. No per-row Python in the hot loop."""
+    texts = pc.fill_null(texts, "")
+    n = len(texts)
+    toks = pc.split_pattern_regex(texts, r"\s+")
+    flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    offsets = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    words = flat.flatten()
+    # regex split leaves '' edge tokens that str.split() would drop
+    keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False).astype(bool)
+    doc_of = np.repeat(np.arange(n), np.diff(offsets))[keep]
+    words = words.filter(pa.array(keep))
+    counts = np.bincount(doc_of, minlength=n)
+    doc_start = np.concatenate(([0], np.cumsum(counts)))
+
+    # full-length shingles for docs with >= k tokens
+    sh_texts: list[str] = []
+    sh_doc: list[np.ndarray] = []
+    if len(words) >= shingle_k:
+        parts = [words.slice(j, len(words) - shingle_k + 1) for j in range(shingle_k)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        pos = np.arange(len(joined))
+        d = doc_of[pos] if pos.size else np.empty(0, np.int64)
+        # valid iff the whole k-window sits inside one doc
+        valid = (pos - doc_start[d]) <= (counts[d] - shingle_k)
+        valid &= counts[d] >= shingle_k
+        sh_texts.extend(joined.filter(pa.array(valid)).to_pylist())
+        sh_doc.append(d[valid])
+    # short docs (0 < count < k): one shingle of all tokens (rare path)
+    short = np.flatnonzero((counts > 0) & (counts < shingle_k))
+    if short.size:
+        wlist = words.to_pylist()
+        for sd in short:
+            sh_texts.append(" ".join(wlist[doc_start[sd] : doc_start[sd + 1]]))
+            sh_doc.append(np.asarray([sd], dtype=np.int64))
+    sh_doc_arr = np.concatenate(sh_doc) if sh_doc else np.empty(0, np.int64)
+
+    sig = np.full((n_perm, n), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    if sh_texts:
+        order = np.argsort(sh_doc_arr, kind="stable")
+        sh_doc_arr = sh_doc_arr[order]
+        sh_sorted = [sh_texts[i] for i in order]
+        uniq, inv = np.unique(np.asarray(sh_sorted, dtype=object), return_inverse=True)
+        uid = np.frombuffer(
+            b"".join(hashlib.md5(u.encode("utf-8")).digest()[:8] for u in uniq.tolist()),
+            dtype=np.uint64,
+        )
+        ids = uid[inv]
+        seeds = np.arange(1, n_perm + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            m = splitmix64(ids[None, :] ^ (seeds[:, None] * np.uint64(0x9E3779B97F4A7C15)))
+        docs_here, first = np.unique(sh_doc_arr, return_index=True)
+        mins = np.minimum.reduceat(m, first, axis=1)
+        sig[:, docs_here] = mins
+    return sig
+
+
 def minhash_bands_batch(
     batch: pa.Table, text_col: str = "text", n_perm: int = 64, bands: int = 16, shingle_k: int = 3
 ) -> pa.Table:
     """Explode docs to (band_id, band_hash, doc_id) LSH rows — the shuffle
     key for the bucket groupby. rows_per_band = n_perm // bands."""
-    texts = batch[text_col].to_pylist()
     doc_ids = np.asarray(batch["doc_id"])
     r = n_perm // bands
-    out_doc, out_band, out_hash = [], [], []
-    for i, t in enumerate(texts):
-        sig = minhash_signature(t, n_perm, shingle_k)
+    sig = minhash_signatures_batch(batch[text_col], n_perm, shingle_k)
+    n = sig.shape[1]
+    # md5 per (doc, band) block — 16 digests/doc vs one per shingle before
+    blocks = np.ascontiguousarray(sig.T)  # (n_docs, n_perm) row-major
+    out_hash = np.empty(n * bands, dtype=np.uint64)
+    for i in range(n):
+        row = blocks[i]
         for b in range(bands):
-            h = hashlib.md5(sig[b * r : (b + 1) * r].tobytes()).digest()[:8]
-            out_doc.append(doc_ids[i])
-            out_band.append(b)
-            out_hash.append(int.from_bytes(h, "little"))
+            out_hash[i * bands + b] = int.from_bytes(
+                hashlib.md5(row[b * r : (b + 1) * r].tobytes()).digest()[:8], "little"
+            )
     return pa.table(
         {
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(np.asarray(out_hash, dtype=np.uint64), pa.uint64()),
+            "doc_id": pa.array(np.repeat(doc_ids, bands), pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+            "band_hash": pa.array(out_hash, pa.uint64()),
         }
     )
 
@@ -240,24 +377,34 @@ def simhash_pairs(ds, text_col: str = "text", max_hamming: int = 3, bands: int =
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64"),
                                  "hamming": pd.Series([], dtype="int64")})
+        if ids.size > _MAX_BUCKET:
+            # degenerate-bucket skew bomb: O(n²) inside one group — keep the
+            # deterministic lowest-id prefix and say so (no silent cap)
+            _log_bucket_cap("simhash", int(ids.size))
+            ids, sh = ids[:_MAX_BUCKET], sh[:_MAX_BUCKET]
         a, b, h = [], [], []
         for i in range(ids.size):
-            x = sh[i] ^ sh[i + 1 :]
-            ham = np.array([bin(int(v)).count("1") for v in x])
+            ham = _popcount64(sh[i] ^ sh[i + 1 :])
             hit = np.flatnonzero(ham <= max_hamming)
-            for j in hit:
-                a.append(int(ids[i])), b.append(int(ids[i + 1 + j])), h.append(int(ham[j]))
-        return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": h})
+            if hit.size:
+                a.append(np.full(hit.size, ids[i], dtype=np.int64))
+                b.append(ids[i + 1 + hit].astype(np.int64))
+                h.append(ham[hit].astype(np.int64))
+        if not a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(a), "doc_b": np.concatenate(b), "hamming": np.concatenate(h)}
+        )
 
     pairs = band_rows.groupby(["band", "band_key"]).map_groups(_pairs, batch_format="pandas")
-    pdf = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
-    return pa.table(
-        {
-            "doc_a": pa.array(pdf["doc_a"].astype("int64"), pa.int64()),
-            "doc_b": pa.array(pdf["doc_b"].astype("int64"), pa.int64()),
-            "hamming": pa.array(pdf["hamming"].astype("int64"), pa.int64()),
-        }
+    # distributed dedup: a pair found by several bands collapses in a
+    # (doc_a, doc_b) groupby — pair rows only ever ride the shuffle
+    deduped = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
     )
+    return deduped
 
 
 # ---------------------------------------------------------------------------
@@ -289,19 +436,29 @@ def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
     return hashed.groupby("content_md5").map_groups(_first, batch_format="pandas")
 
 
-def dedup_minhash(ds, text_col: str = "text", threshold: float = 0.8, n_perm: int = 64, bands: int = 16):
+def dedup_minhash(
+    ds,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_perm: int = 64,
+    bands: int = 16,
+    num_partitions: int = 8,
+):
     """MinHash-LSH near-dup: band rows → bucket groupby → candidate pairs →
-    exact-Jaccard verify. Returns verified duplicate pairs (doc_a < doc_b).
+    hash-partitioned pair↔doc joins → in-batch exact-Jaccard verify.
+    Returns a Dataset of verified duplicate pairs (doc_a < doc_b, jaccard).
 
-    Scale shape: the shuffle moves only (band_id, band_hash, doc_id) rows;
-    candidate pairs are a tiny fraction of the corpus. Verification here
-    joins pair rows against the docs needed for them — at 100 TB that join
-    is hash-partitioned on doc_id; at test scale the pair set is small
-    enough to gather and verify on the driver with a semi-join read of just
-    the referenced docs.
+    Scale shape (no driver-side materialization anywhere):
+
+    1. the LSH shuffle moves only (band_id, band_hash, doc_id) rows;
+    2. buckets emit all-pairs under a logged ``_MAX_BUCKET`` cap (skew
+       guard) and pairs dedup in a distributed (doc_a, doc_b) groupby;
+    3. the verification tail is two hash joins of the pair rows against the
+       (doc_id, text) projection — pair rows and only the referenced texts
+       ride the exchange — with the exact Jaccard computed inside
+       ``map_batches`` where the pair lands.
     """
     import pandas as pd
-    import pyarrow.compute as pc
 
     band_rows = ds.map_batches(
         lambda b: minhash_bands_batch(b, text_col, n_perm, bands), batch_format="pyarrow"
@@ -309,39 +466,50 @@ def dedup_minhash(ds, text_col: str = "text", threshold: float = 0.8, n_perm: in
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].unique())
+        if len(ids) > _MAX_BUCKET:
+            _log_bucket_cap("minhash", len(ids))
+            ids = ids[:_MAX_BUCKET]
         if len(ids) < 2:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+        arr = np.asarray(ids, dtype=np.int64)
+        ii, jj = np.triu_indices(arr.size, k=1)
+        return pd.DataFrame({"doc_a": arr[ii], "doc_b": arr[jj]})
 
     cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(_pairs, batch_format="pandas")
-    cand_pdf = cand.to_pandas().drop_duplicates().reset_index(drop=True)
-
-    # semi-join: fetch only the texts the candidate pairs reference
-    needed = set(cand_pdf["doc_a"]).union(cand_pdf["doc_b"])
-    texts: dict = {}
-    if needed:
-        needed_arr = pa.array(sorted(int(x) for x in needed), pa.int64())
-        for bb in ds.iter_batches(batch_format="pyarrow"):
-            t = pa.Table.from_batches([bb]) if isinstance(bb, pa.RecordBatch) else bb
-            hit = t.filter(pc.is_in(t["doc_id"], value_set=needed_arr))
-            texts.update(zip(hit["doc_id"].to_pylist(), hit[text_col].to_pylist()))
-
-    out_a, out_b, out_j = [], [], []
-    for _, row in cand_pdf.iterrows():
-        j = jaccard(texts.get(row.doc_a, ""), texts.get(row.doc_b, ""))
-        if j >= threshold:
-            out_a.append(int(row.doc_a))
-            out_b.append(int(row.doc_b))
-            out_j.append(j)
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "jaccard": pa.array(out_j, pa.float64()),
-        }
+    deduped = cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
     )
+
+    docs_proj = ds.map_batches(
+        lambda b: pa.table(
+            {"doc_id": pc.cast(b["doc_id"], pa.int64()), text_col: b[text_col]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    with_a = deduped.join(
+        docs_proj, "inner", num_partitions, on=("doc_a",), right_on=("doc_id",)
+    ).map_batches(
+        lambda b: pa.table(
+            {"doc_a": b["doc_a"], "doc_b": b["doc_b"], "text_a": b[text_col]}
+        ),
+        batch_format="pyarrow",
+    )
+    with_b = with_a.join(
+        docs_proj, "inner", num_partitions, on=("doc_b",), right_on=("doc_id",)
+    )
+
+    def _verify(b: pa.Table) -> pa.Table:
+        ta = b["text_a"].to_pylist()
+        tb = b[text_col].to_pylist()
+        jac = np.asarray([jaccard(x, y) for x, y in zip(ta, tb)], dtype=np.float64)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": pc.cast(b["doc_a"], pa.int64()).take(pa.array(np.flatnonzero(keep))),
+                "doc_b": pc.cast(b["doc_b"], pa.int64()).take(pa.array(np.flatnonzero(keep))),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return with_b.map_batches(_verify, batch_format="pyarrow")

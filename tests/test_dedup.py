@@ -172,3 +172,21 @@ def test_internal_error_rows_do_not_kill_batch(monkeypatch):
     internal = out[out["status"] == "internal"]
     assert len(internal) == 1 and internal["doc_id"].iloc[0] == victim
     assert (out["status"] == "ok").sum() > 0
+
+
+def test_minhash_batched_signatures_match_per_doc():
+    """The vectorized signature matrix equals the per-doc reference path,
+    including whitespace/short/empty edge cases."""
+    import pyarrow as pa
+
+    from routers_ray.text import minhash_signature, minhash_signatures_batch
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "", "one", "one two", "one two three",
+        "  padded   whitespace\ttokens  ",
+        "x " * 200,
+    ]
+    sig = minhash_signatures_batch(pa.array(texts))
+    for i, t in enumerate(texts):
+        assert np.array_equal(sig[:, i], minhash_signature(t)), t[:30]

@@ -50,6 +50,8 @@ ORACLE_PAIRS = [(n, fn, sql) for n, (fn, sql) in registry().items() if sql is no
 
 @pytest.mark.parametrize("name,fn,sql", ORACLE_PAIRS, ids=[p[0] for p in ORACLE_PAIRS])
 def test_query_matches_oracle(name, fn, sql, con, ray_session):
+    if callable(sql):  # lazy oracle (match/match_tiles expected parquet)
+        sql = sql()
     ours = _canon(_to_pandas(fn(SF_DIR)))
     theirs = _canon(con.sql(sql).df())
     assert list(ours.columns) == list(theirs.columns), f"{name}: column mismatch"
