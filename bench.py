@@ -84,10 +84,12 @@ def run_bench() -> dict:
     # warm the page cache (measure compute + shuffle, not first disk read)
     rd.read_parquet(os.path.join(world, "corpus", "documents.parquet")).count()
 
-    # headline: match + tile-join end to end, matched rows written once
-    # (actor pool leaves CPU headroom for the read/sort/write stages —
-    # a pool reserving every CPU starves the rest of the pipeline)
-    pool = max(2, NUM_CPUS - 2)
+    # headline: match + tile-join end to end, matched rows written once.
+    # Pool sizing measured (round 2, 8k docs @32 CPUs): pool=30 → 16.7 s,
+    # 26 → 10.7, 24 → 9.7, 22 → 8.6, 20 → 8.8 — the fused actors share the
+    # node with read/write tasks, so ~0.7×CPUs is the sweet spot; a pool
+    # reserving every CPU oversubscribes and runs ~2× slower.
+    pool = max(2, int(NUM_CPUS * 0.7))
     out_dir = os.path.join("/tmp", f"routers_ray_bench_out_{NUM_CPUS}")
     import shutil
 
@@ -118,6 +120,40 @@ def run_bench() -> dict:
 
     # matched docs/sec (docs fully matched, the BASELINE.json metric)
     n_ok_docs = ok.groupby("doc_id").count().count()
+
+    # hash-routed exchange datapoint (the multi-node path: co-locate each
+    # (cell, salt) before the actor pool). Worst-case config for it — a
+    # single 32-CPU node where the fused lean path overlaps parse+match
+    # perfectly — so the ratio below is an upper bound on exchange cost;
+    # aggregators spread across nodes at cluster scale.
+    if not scaling_child:
+        from ray.data.context import ShuffleStrategy
+
+        prev_strategy = ctx.shuffle_strategy
+        prev_aggs = ctx.max_hash_shuffle_aggregators
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        ctx.max_hash_shuffle_aggregators = 4
+        try:
+            pool_h = max(2, int(NUM_CPUS * 0.75))
+            t0 = time.perf_counter()
+            mh = match_documents(
+                rd.read_parquet(
+                    os.path.join(world, "corpus", "documents.parquet"),
+                    override_num_blocks=max(NUM_CPUS * 4, 32),
+                ),
+                os.path.join(world, "netstore"),
+                concurrency=(pool_h, pool_h),
+                batch_size=32,
+                keep_spans=False,
+                route="hash",
+                salt=True,
+                target_docs_per_salt=300,
+            )
+            matched_ok(mh).count()
+            timings["match_hash_routed"] = round(time.perf_counter() - t0, 3)
+        finally:
+            ctx.shuffle_strategy = prev_strategy
+            ctx.max_hash_shuffle_aggregators = prev_aggs
 
     # checkpoint/resume overhead: cold checkpointed run vs manifest-hit rerun
     import ray.data as _rd

@@ -143,6 +143,7 @@ def run_checkpointed(
         if pid in done:
             return pa.table({"partition_id": pa.array([], pa.string())})
         st = get_store(store_path)
+        h0, m0 = st.net_cache_hits, st.net_cache_misses
         matched = match_batch(group, st, MatchOptions(**opts_dict), keep_spans=keep_spans)
         matched = matched.append_column(
             "revision", pa.array([revision_epoch] * len(matched), pa.uint64())
@@ -171,6 +172,10 @@ def run_checkpointed(
                 "max_ts": pa.array([max_ts if max_ts is not None else -1], pa.int64()),
                 "t_ms": pa.array([(time.perf_counter() - t0) * 1000.0], pa.float64()),
                 "revision_epoch": pa.array([revision_epoch], pa.int64()),
+                # window-network cache effectiveness while matching this
+                # partition (anchor-cell keying, network.py network_for_doc)
+                "net_cache_hits": pa.array([st.net_cache_hits - h0], pa.int64()),
+                "net_cache_misses": pa.array([st.net_cache_misses - m0], pa.int64()),
             }
         )
 
@@ -288,9 +293,8 @@ def incremental_match(
         if ll.size == 0:
             continue
         buffer_m = opts.threshold_cm / 100.0 + opts.search_distance_m
-        net = store.network_for_bbox(
-            float(ll.min()), float(la.min()), float(ll.max()), float(la.max()),
-            buffer_m=buffer_m, search_radius_m=opts.search_distance_m,
+        net = store.network_for_doc(
+            ll, la, buffer_m=buffer_m, search_radius_m=opts.search_distance_m
         )
         try:
             res = match_trajectory(net, ll, la, opts)

@@ -534,6 +534,9 @@ class NetworkStore:
         self.max_cells = max_cells
         self.max_networks = max_networks
         self._known = {int(c) for c in self.manifest["cells"]}
+        # lineage metrics: window-network cache effectiveness per actor
+        self.net_cache_hits = 0
+        self.net_cache_misses = 0
 
     def _load_cell(self, cell: int) -> pa.Table | None:
         if cell not in self._known:
@@ -598,3 +601,37 @@ class NetworkStore:
         return self.network_for_cells(
             self.cells_for_bbox(lon_w, lat_s, lon_e, lat_n, buffer_m), search_radius_m
         )
+
+    def network_for_doc(
+        self,
+        lons: np.ndarray,
+        lats: np.ndarray,
+        buffer_m: float = 0.0,
+        search_radius_m: float = DEFAULT_SEARCH_DISTANCE_M,
+    ) -> CellNetwork:
+        """Network for one trajectory, keyed by its ANCHOR cell's 9-cell
+        window when the doc fits inside it (``loader/window.rs:90-108``
+        semantics): every doc anchored in a cell shares one cached network
+        instead of missing on near-identical bbox cell-set tuples, and a
+        long trajectory only falls back to its exact bbox cell set (it no
+        longer poisons the cache for everyone else — the fallback entry
+        evicts like any other).
+
+        Correctness is keying-independent: the window is a SUPERSET of the
+        bbox cells (checked), candidate search is radius-bound and the
+        Dijkstra is distance-bound inside ``buffer_m``, and emitted ids /
+        candidate ordering are global (edge_id, dir) — so the same doc
+        matches identically under either key (pinned by the golden test).
+        """
+        needed = self.cells_for_bbox(
+            float(lons.min()), float(lats.min()), float(lons.max()), float(lats.max()), buffer_m
+        )
+        if os.environ.get("ROUTERS_RAY_FORCE_BBOX_KEYING"):  # A/B escape hatch
+            return self.network_for_cells(needed, search_radius_m)
+        anchor = int(cells.lonlat_to_cell(float(lons[0]), float(lats[0]), self.partition_zoom))
+        window = tuple(sorted({int(c) for c in cells.cell_disk(anchor, 1)[0].tolist()}))
+        key_cells = window if set(needed) <= set(window) else needed
+        hit = (key_cells, search_radius_m) in self._networks
+        self.net_cache_hits += int(hit)
+        self.net_cache_misses += int(not hit)
+        return self.network_for_cells(key_cells, search_radius_m)

@@ -26,6 +26,7 @@ from dataclasses import asdict
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..cells import lonlat_to_cell
 from ..functions import doc_salt
@@ -71,6 +72,40 @@ def anchor_batch(batch: pa.Table, partition_zoom: int, salt_of_cell: dict | None
     out = out.append_column("salt", pa.array(salt, pa.int32()))
     route = (cell.astype(np.int64) << np.int64(16)) | salt.astype(np.int64)
     return out.append_column("route_key", pa.array(route, pa.int64()))
+
+
+def first_point_cells(batch: pa.Table, partition_zoom: int) -> pa.Table:
+    """(doc_id, anchor_cell) from the FIRST point-span per doc only — the
+    salt pre-pass kernel. Skips the full point split (the expensive part of
+    parse), so counting anchors costs a regex scan + one split per doc."""
+    from ..spans import _POINT_RE, _spans_chunks
+
+    spans = _spans_chunks(batch["spans"])
+    n = len(batch)
+    offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = spans.flatten()
+    kind = pc.struct_field(flat, "kind")
+    text = pc.struct_field(flat, "text")
+    is_point = pc.fill_null(
+        pc.and_kleene(pc.equal(kind, "text"), pc.match_substring_regex(text, _POINT_RE)), False
+    ).to_numpy(zero_copy_only=False).astype(bool)
+    idx = np.flatnonzero(is_point)
+    row_of_span = (
+        np.searchsorted(offsets, np.arange(offsets[-1]), side="right") - 1
+        if offsets[-1]
+        else np.empty(0, np.int64)
+    )
+    rows_hit, first = np.unique(row_of_span[idx], return_index=True)
+    first_span = idx[first]
+    cell = np.full(n, -1, dtype=np.int64)
+    if first_span.size:
+        payload = pc.split_pattern(text.take(pa.array(first_span)), " ")
+        vals = np.asarray(pc.cast(payload.flatten(), pa.float64()))
+        lon, lat = vals[0::3], vals[1::3]
+        cell[rows_hit] = lonlat_to_cell(lon, lat, partition_zoom).astype(np.int64)
+    return pa.table(
+        {"doc_id": batch["doc_id"], "anchor_cell": pa.array(cell, pa.int64())}
+    )
 
 
 def _hash_shuffle_enabled() -> bool:
@@ -169,11 +204,15 @@ def match_batch(
     doc_ids = batch["doc_id"].to_pylist()
     spans_col = batch["spans"] if keep_spans and "spans" in batch.column_names else None
 
-    # output accumulators
+    # output accumulators. Hop geometry stays FLAT (numpy parts + per-row
+    # lengths) and becomes one ListArray at the end — no per-point dicts
+    # (the round-1 hot-path allocation sink: O(points) Python objects).
     o_doc, o_seq, o_status = [], [], []
     o_eid, o_dir, o_src, o_dst = [], [], [], []
     o_slon, o_slat, o_cost, o_cell = [], [], [], []
-    o_hop: list = []
+    hop_parts_lon: list = []  # np arrays, concatenated once
+    hop_parts_lat: list = []
+    hop_len: list = []  # per output row; -1 → null hop (error rows)
     o_err: list = []
     o_span_row: list = []
 
@@ -186,11 +225,10 @@ def match_batch(
             o_doc.append(doc_ids[i]), o_seq.append(-1), o_status.append("unanchored")
             o_eid.append(None), o_dir.append(None), o_src.append(None), o_dst.append(None)
             o_slon.append(None), o_slat.append(None), o_cost.append(None), o_cell.append(None)
-            o_hop.append(None), o_err.append([]), o_span_row.append(i)
+            hop_len.append(-1), o_err.append([]), o_span_row.append(i)
             continue
-        net = store.network_for_bbox(
-            float(ll.min()), float(la.min()), float(ll.max()), float(la.max()),
-            buffer_m=buffer_m, search_radius_m=opts.search_distance_m,
+        net = store.network_for_doc(
+            ll, la, buffer_m=buffer_m, search_radius_m=opts.search_distance_m
         )
         try:
             res = match_trajectory(net, ll, la, opts)
@@ -198,7 +236,7 @@ def match_batch(
             o_doc.append(doc_ids[i]), o_seq.append(-1), o_status.append(e.kind)
             o_eid.append(None), o_dir.append(None), o_src.append(None), o_dst.append(None)
             o_slon.append(None), o_slat.append(None), o_cost.append(None), o_cell.append(None)
-            o_hop.append(None), o_err.append([int(x) for x in e.layers]), o_span_row.append(i)
+            hop_len.append(-1), o_err.append([int(x) for x in e.layers]), o_span_row.append(i)
             continue
         except Exception:  # poison-pill tolerance: one bad doc must not
             # kill the partition (the reference acks poison messages away,
@@ -206,7 +244,7 @@ def match_batch(
             o_doc.append(doc_ids[i]), o_seq.append(-1), o_status.append("internal")
             o_eid.append(None), o_dir.append(None), o_src.append(None), o_dst.append(None)
             o_slon.append(None), o_slat.append(None), o_cost.append(None), o_cell.append(None)
-            o_hop.append(None), o_err.append([]), o_span_row.append(i)
+            hop_len.append(-1), o_err.append([]), o_span_row.append(i)
             continue
         cells_out = lonlat_to_cell(
             np.asarray([m.snap_lon for m in res.layers]),
@@ -218,9 +256,9 @@ def match_batch(
             o_eid.append(m.edge_id), o_dir.append(m.direction), o_src.append(m.src), o_dst.append(m.dst)
             o_slon.append(m.snap_lon), o_slat.append(m.snap_lat)
             o_cost.append(res.cost), o_cell.append(int(cells_out[k]))
-            o_hop.append(
-                [{"lon": float(x), "lat": float(y)} for x, y in zip(m.hop_lons, m.hop_lats)]
-            )
+            hop_parts_lon.append(m.hop_lons)
+            hop_parts_lat.append(m.hop_lats)
+            hop_len.append(m.hop_lons.size)
             o_err.append(None), o_span_row.append(i)
 
     spans_type = spans_col.type if spans_col is not None else pa.list_(
@@ -234,6 +272,22 @@ def match_batch(
     else:
         spans_arr = pa.nulls(len(o_doc), spans_type)
 
+    # one ListArray for every hop path: flat numpy children + offsets with
+    # nulls at error rows (a null START offset marks that list entry null)
+    flat_lon = np.concatenate(hop_parts_lon) if hop_parts_lon else np.empty(0)
+    flat_lat = np.concatenate(hop_parts_lat) if hop_parts_lat else np.empty(0)
+    lens = np.asarray(hop_len, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(np.maximum(lens, 0))))
+    off_vals = starts.tolist()
+    for j in np.flatnonzero(lens < 0).tolist():
+        off_vals[j] = None  # null list at row j
+    hop_offsets = pa.array(off_vals, pa.int32())
+    hop_values = pa.StructArray.from_arrays(
+        [pa.array(flat_lon, pa.float64()), pa.array(flat_lat, pa.float64())],
+        ["lon", "lat"],
+    )
+    hop_arr = pa.ListArray.from_arrays(hop_offsets, hop_values)
+
     return pa.Table.from_arrays(
         [
             pa.array(o_doc, pa.string()),
@@ -245,7 +299,7 @@ def match_batch(
             pa.array(o_dst, pa.int64()),
             pa.array(o_slon, pa.float64()),
             pa.array(o_slat, pa.float64()),
-            pa.array(o_hop, HOP_TYPE),
+            hop_arr.cast(HOP_TYPE),
             pa.array(o_cost, pa.uint32()),
             pa.array(o_cell, pa.uint64()),
             pa.array(o_err, pa.list_(pa.int32())),
@@ -267,6 +321,7 @@ def match_documents(
     target_docs_per_salt: int = 2000,
     route: str = "auto",
     route_blocks: int = 64,
+    salt_sample: float = 1.0,
 ):
     """docs Dataset → matched Dataset (status column distinguishes ok/error
     rows). Lazy end to end except the tiny salt pre-pass.
@@ -311,31 +366,36 @@ def match_documents(
             **kwargs,
         )
 
-    def _parse(b: pa.Table) -> pa.Table:
-        out = parse_trajectories(b)
-        if not keep_spans and "spans" in out.column_names:
-            # spans dominate row bytes; dropping them before the routing
-            # sort keeps the shuffle to the packed point columns
-            out = out.drop_columns(["spans"])
-        return out
-
-    parsed = docs_ds.map_batches(_parse, batch_format="pyarrow")
+    # Routed / salted path. The full parse runs ONCE, streaming straight
+    # into the exchange (no materialize barrier); spans are stripped before
+    # anything shuffles (they dominate row bytes) and, when keep_spans,
+    # rejoin by doc_id at the output. The salt pre-pass doesn't pay the
+    # full parse either: it counts FIRST-point anchor cells only (one split
+    # per doc), optionally over a sample — salting needs rough counts, and
+    # the match result is partitioning-invariant.
     zoom = store.partition_zoom
-
+    salt_of_cell = None
     if salt:
-        anchored_for_count = parsed.map_batches(
-            lambda b: anchor_batch(b, zoom, None), batch_format="pyarrow"
+        pre = docs_ds if salt_sample >= 1.0 else docs_ds.random_sample(salt_sample)
+        counts = (
+            pre.map_batches(lambda b: first_point_cells(b, zoom), batch_format="pyarrow")
+            .groupby("anchor_cell")
+            .count()
+            .to_pandas()
         )
-        salt_of_cell = compute_salts(
-            anchored_for_count.select_columns(["doc_id", "anchor_cell"]),
-            target_docs_per_salt,
-        )
-    else:
-        salt_of_cell = None
+        if len(counts) and "anchor_cell" in counts.columns:
+            salt_of_cell = {
+                int(c): max(1, int(np.ceil(n / salt_sample / target_docs_per_salt)))
+                for c, n in zip(counts["anchor_cell"], counts["count()"])
+            }
 
-    anchored = parsed.map_batches(
-        lambda b: anchor_batch(b, zoom, salt_of_cell), batch_format="pyarrow"
-    )
+    def _parse_strip(b: pa.Table) -> pa.Table:
+        out = parse_trajectories(b)
+        if "spans" in out.column_names:
+            out = out.drop_columns(["spans"])
+        return anchor_batch(out, zoom, salt_of_cell)
+
+    anchored = docs_ds.map_batches(_parse_strip, batch_format="pyarrow")
 
     if route == "hash":
         routed = anchored.repartition(route_blocks, keys=["route_key"])
@@ -350,14 +410,56 @@ def match_documents(
             "store_path": store_path,
             "options": asdict(opts),
             "out_zoom": out_zoom,
-            "keep_spans": keep_spans,
+            "keep_spans": False,  # stripped before the exchange
         },
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
         **kwargs,
     )
-    return matched
+    if not keep_spans:
+        return matched
+
+    # Span rejoin: Arrow's hash-join kernel rejects nested non-key columns
+    # (hop_path, spans), so the rejoin is a union + groupby(doc_id) attach —
+    # the groupby shuffle moves whole blocks and carries any Arrow type.
+    # Spans move exactly once, to wherever their doc's matched rows landed.
+    def _marker(b: pa.Table) -> pa.Table:
+        n = len(b)
+        spans = b["spans"]
+        spans_type = spans.type if not isinstance(spans, pa.ChunkedArray) else spans.type
+        schema = _result_schema(spans_type)
+        cols = []
+        for f in schema:
+            if f.name == "doc_id":
+                cols.append(pc.cast(b["doc_id"], pa.string()))
+            elif f.name == "spans":
+                cols.append(spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans)
+            elif f.name == "seq":
+                cols.append(pa.array([-2] * n, pa.int32()))
+            elif f.name == "status":
+                cols.append(pa.array(["__spans__"] * n, pa.string()))
+            else:
+                cols.append(pa.nulls(n, f.type))
+        return pa.Table.from_arrays(cols, schema=schema)
+
+    spans_side = docs_ds.map_batches(_marker, batch_format="pyarrow")
+
+    def _attach(g: pa.Table) -> pa.Table:
+        is_marker = pc.equal(g["status"], "__spans__")
+        markers = g.filter(is_marker)
+        rest = g.filter(pc.invert(is_marker))
+        if len(markers) and len(rest):
+            spans_rep = markers["spans"].combine_chunks().take(
+                pa.array(np.zeros(len(rest), dtype=np.int64))
+            )
+            idx = rest.schema.get_field_index("spans")
+            rest = rest.set_column(idx, "spans", spans_rep)
+        return rest
+
+    return matched.union(spans_side).groupby("doc_id").map_groups(
+        _attach, batch_format="pyarrow"
+    )
 
 
 def matched_ok(matched_ds):

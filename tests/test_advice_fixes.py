@@ -195,3 +195,57 @@ def test_network_store_caches_are_true_lru(tmp_path):
     store.network_for_cells((a,))
     net_order = list(store._networks)
     assert net_order[-1][0] == (a,)
+
+
+def test_window_network_keying_shares_cache_and_preserves_results():
+    """network_for_doc keys docs by their anchor cell's 9-cell window: docs
+    with different bboxes in one cell share a cache entry; a long
+    trajectory falls back to its exact bbox cell set; results are identical
+    to explicit bbox keying."""
+    import pyarrow as pa
+
+    from routers_ray.matcher import MatchOptions, match_trajectory
+    from routers_ray.network import NetworkStore, build_network_store, synth_network
+    from routers_ray.synth import synth_corpus  # noqa: F401 (world helpers)
+    import tempfile
+
+    nodes, edges = synth_network(seed=3, n_cities=1, grid=(6, 6))
+    store_dir = tempfile.mkdtemp(prefix="winkey_store_")
+    build_network_store(nodes, edges, store_dir, use_ray=False)
+    store = NetworkStore(store_dir)
+
+    lon0 = float(np.asarray(nodes["lon"]).mean())
+    lat0 = float(np.asarray(nodes["lat"]).mean())
+    opts = MatchOptions()
+    buffer_m = opts.threshold_cm / 100.0 + opts.search_distance_m
+
+    # two short docs with DIFFERENT bboxes inside the same anchor window
+    d1 = (np.array([lon0, lon0 + 1e-4]), np.array([lat0, lat0]))
+    d2 = (np.array([lon0 + 2e-4, lon0 + 3e-4]), np.array([lat0 + 1e-4, lat0 + 1e-4]))
+    n1 = store.network_for_doc(*d1, buffer_m=buffer_m)
+    hits0 = store.net_cache_hits
+    n2 = store.network_for_doc(*d2, buffer_m=buffer_m)
+    assert n2 is n1, "same-window docs must share one cached network"
+    assert store.net_cache_hits == hits0 + 1
+
+    # results identical to bbox keying
+    for ll, la in (d1, d2):
+        bbox_net = store.network_for_bbox(
+            ll.min(), la.min(), ll.max(), la.max(), buffer_m=buffer_m
+        )
+        a = match_trajectory(n1, ll, la, opts)
+        b = match_trajectory(bbox_net, ll, la, opts)
+        assert [(m.edge_id, m.direction) for m in a.layers] == [
+            (m.edge_id, m.direction) for m in b.layers
+        ]
+        assert a.cost == b.cost
+
+    # a corridor-crossing doc (wider than the window) falls back to bbox keys
+    span = 0.2  # degrees — far beyond one partition cell + window
+    dl = (np.array([lon0, lon0 + span]), np.array([lat0, lat0]))
+    before = dict(store._networks)
+    try:
+        store.network_for_doc(*dl, buffer_m=buffer_m)
+    except ValueError:
+        pass  # bbox may exceed the covering cap — fallback path still taken
+    assert any(k not in before for k in store._networks), "fallback entry expected"
