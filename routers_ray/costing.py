@@ -51,3 +51,23 @@ def deviance(straightline_m: float, route_length_m: float) -> float:
     if route_length_m <= 0.0:
         return 1.0
     return straightline_m / route_length_m
+
+
+SPEED_REF_KMH = 130.0  # normalization ceiling for the speed decay
+
+
+def speed_weight(speed_kmh, fallback_weight, zeta: float = 1.0, beta: float = 1.0) -> np.ndarray:
+    """Per-edge Dijkstra weight from parsed speed limits — the real ``v``
+    source for the reference decay ``cost(v) = ζ·(1/v)^β·100``
+    (``costing/util.rs:29-39``), with ``v = clamp(speed/130 km/h, ε, 1)``.
+
+    Edges without a parsed limit (NaN) keep their class-derived
+    ``fallback_weight``; a 130 km/h motorway costs 100, a 13 km/h lane
+    costs 1000 — same scale family as ``RoadClass::weighting``×100.
+    """
+    s = np.asarray(speed_kmh, dtype=np.float64)
+    v = np.clip(s / SPEED_REF_KMH, EPSILON, 1.0)
+    w = (PRECISION * zeta * (1.0 / v) ** beta)
+    fb = np.asarray(fallback_weight, dtype=np.float64) * PRECISION
+    out = np.where(np.isnan(s), fb, w)
+    return np.minimum(out, np.float64(2**31 - 1)).astype(np.uint32)

@@ -69,6 +69,11 @@ class MatchOptions:
     drop_unanchored: bool = False  # streaming mode drops, batch mode rejects
     max_layers: int | None = None  # Trip::tail windowing bound
     compute_convergence: bool = False  # report the safe stream-emit cut layer
+    # runtime transport config (OsmTripConfiguration analogue): picks the
+    # precomputed per-mode access mask and, optionally, speed-limit-derived
+    # edge weights (metadata.py / costing.speed_weight)
+    transport_mode: str | None = None
+    use_speed: bool = False
 
 
 @dataclass

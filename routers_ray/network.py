@@ -121,6 +121,10 @@ def synth_network(
         }
     )
     n_e = len(e_id)
+    # additive metadata (no extra rng draws — keeps the world byte-stable):
+    # grid streets are residential 50 km/h 2-lane; the spine is a motorway
+    w_arr = np.asarray(e_w, dtype=np.uint32)
+    is_spine = w_arr == 1
     edges = pa.table(
         {
             "edge_id": pa.array(e_id, pa.int64()),
@@ -129,6 +133,13 @@ def synth_network(
             "weight": pa.array(e_w, pa.uint32()),
             "dir": pa.array(e_dir, pa.uint8()),
             "accessible": pa.array([True] * n_e, pa.bool_()),
+            "road_class": pa.array(
+                np.where(is_spine, "motorway", "residential").tolist(), pa.string()
+            ),
+            "lane_count": pa.array(np.where(is_spine, 4, 2).astype(np.int32), pa.int32()),
+            "maxspeed": pa.array(
+                np.where(is_spine, "110", "50").tolist(), pa.string()
+            ),
         }
     )
     return nodes, edges
@@ -178,6 +189,42 @@ def edge_partition_rows(fat: pa.Table, partition_zoom: int, padding_m: float) ->
     return taken.append_column("cell", pa.array(cc.astype(np.int64), pa.int64()))
 
 
+def prepare_edge_metadata(edges: pa.Table) -> pa.Table:
+    """Append derived metadata columns when raw metadata is present:
+
+    - ``access_tags`` (list<struct{mode,dir,value}>) → per-mode boolean
+      ``acc_<mode>`` columns via most-specific-wins resolution
+      (``osm/mod.rs:200-235``);
+    - ``maxspeed`` (raw strings) → ``speed_kmh`` float64 (parsed once per
+      distinct value, ``speed_limit/limit.rs`` core);
+    - ``road_class`` (strings) → ``class_weight`` uint32
+      (``road_class.rs:118-146``).
+
+    Tables without the raw columns pass through unchanged — metadata is an
+    additive surface.
+    """
+    from . import metadata as md
+
+    out = edges
+    if "access_tags" in edges.column_names:
+        cols = md.access_columns(out["access_tags"], out["dir"])
+        for m, arr in cols.items():
+            out = out.append_column(f"acc_{m}", pa.array(arr, pa.bool_()))
+        # the list column itself does not ride the store (cells partition on
+        # flat columns); resolution happened above
+        out = out.drop_columns(["access_tags"])
+    if "maxspeed" in edges.column_names:
+        out = out.append_column(
+            "speed_kmh", pa.array(md.parse_maxspeed_column(out["maxspeed"]), pa.float64())
+        )
+        out = out.drop_columns(["maxspeed"])
+    if "road_class" in edges.column_names:
+        out = out.append_column(
+            "class_weight", pa.array(md.class_weight_column(out["road_class"]), pa.uint32())
+        )
+    return out
+
+
 def build_network_store(
     nodes: pa.Table,
     edges: pa.Table,
@@ -195,7 +242,7 @@ def build_network_store(
     driver-side path is used by unit tests and tiny fixtures.
     """
     os.makedirs(store_dir, exist_ok=True)
-    fat = fatten_edges(nodes, edges)
+    fat = fatten_edges(nodes, prepare_edge_metadata(edges))
 
     if use_ray:
         import ray.data as rd
@@ -288,13 +335,36 @@ class CellNetwork:
         tbl: pa.Table,
         join_zoom: int = DEFAULT_JOIN_ZOOM,
         search_radius_m: float = DEFAULT_SEARCH_DISTANCE_M,
+        mode: str | None = None,
+        use_speed: bool = False,
     ) -> "CellNetwork":
         eid = np.asarray(tbl["edge_id"], dtype=np.int64)
         dr = np.asarray(tbl["dir"], dtype=np.uint8)
         src = np.asarray(tbl["src"], dtype=np.int64)
         dst = np.asarray(tbl["dst"], dtype=np.int64)
         w = np.asarray(tbl["weight"], dtype=np.uint32)
+        if use_speed and "speed_kmh" in tbl.column_names:
+            # runtime speed weighting: the decay cost(v)=ζ(1/v)^β·100 with v
+            # sourced from parsed speed limits (costing.speed_weight); edges
+            # without a limit fall back to their class/static weight
+            from .costing import speed_weight
+
+            fb = (
+                np.asarray(tbl["class_weight"], dtype=np.float64)
+                if "class_weight" in tbl.column_names
+                else w.astype(np.float64)
+            )
+            w = speed_weight(np.asarray(tbl["speed_kmh"], dtype=np.float64), fb)
         acc = np.asarray(tbl["accessible"], dtype=bool)
+        if mode is not None:
+            # per-transport-mode access mask precomputed at store-build time
+            # (metadata.access_columns, osm/mod.rs:200-235 resolution); the
+            # runtime config just picks the column (SURVEY §2.2). A store
+            # built without metadata has no mask — unrestricted like the
+            # reference's default-allow.
+            col = f"acc_{mode}"
+            if col in tbl.column_names:
+                acc = acc & np.asarray(tbl[col], dtype=bool)
         ax = np.asarray(tbl["ax"], dtype=np.float64)
         ay = np.asarray(tbl["ay"], dtype=np.float64)
         bx = np.asarray(tbl["bx"], dtype=np.float64)
@@ -565,8 +635,14 @@ class NetworkStore:
         )
         return tuple(sorted(int(c) for c in cc.tolist()))
 
-    def network_for_cells(self, cell_set: tuple, search_radius_m: float = DEFAULT_SEARCH_DISTANCE_M) -> CellNetwork:
-        key = (cell_set, search_radius_m)
+    def network_for_cells(
+        self,
+        cell_set: tuple,
+        search_radius_m: float = DEFAULT_SEARCH_DISTANCE_M,
+        mode: str | None = None,
+        use_speed: bool = False,
+    ) -> CellNetwork:
+        key = (cell_set, search_radius_m, mode, use_speed)
         net = self._networks.get(key)
         if net is not None:
             self._networks[key] = self._networks.pop(key)  # LRU refresh
@@ -589,17 +665,22 @@ class NetworkStore:
                         "by": pa.array([], pa.float64()),
                     }
                 )
-            net = CellNetwork.from_edge_rows(tbl, self.join_zoom, search_radius_m)
+            net = CellNetwork.from_edge_rows(
+                tbl, self.join_zoom, search_radius_m, mode=mode, use_speed=use_speed
+            )
             if len(self._networks) >= self.max_networks:
                 self._networks.pop(next(iter(self._networks)))
             self._networks[key] = net
         return net
 
     def network_for_bbox(
-        self, lon_w, lat_s, lon_e, lat_n, buffer_m: float = 0.0, search_radius_m: float = DEFAULT_SEARCH_DISTANCE_M
+        self, lon_w, lat_s, lon_e, lat_n, buffer_m: float = 0.0,
+        search_radius_m: float = DEFAULT_SEARCH_DISTANCE_M, mode: str | None = None,
+        use_speed: bool = False,
     ) -> CellNetwork:
         return self.network_for_cells(
-            self.cells_for_bbox(lon_w, lat_s, lon_e, lat_n, buffer_m), search_radius_m
+            self.cells_for_bbox(lon_w, lat_s, lon_e, lat_n, buffer_m),
+            search_radius_m, mode, use_speed,
         )
 
     def network_for_doc(
@@ -608,6 +689,8 @@ class NetworkStore:
         lats: np.ndarray,
         buffer_m: float = 0.0,
         search_radius_m: float = DEFAULT_SEARCH_DISTANCE_M,
+        mode: str | None = None,
+        use_speed: bool = False,
     ) -> CellNetwork:
         """Network for one trajectory, keyed by its ANCHOR cell's 9-cell
         window when the doc fits inside it (``loader/window.rs:90-108``
@@ -627,11 +710,11 @@ class NetworkStore:
             float(lons.min()), float(lats.min()), float(lons.max()), float(lats.max()), buffer_m
         )
         if os.environ.get("ROUTERS_RAY_FORCE_BBOX_KEYING"):  # A/B escape hatch
-            return self.network_for_cells(needed, search_radius_m)
+            return self.network_for_cells(needed, search_radius_m, mode, use_speed)
         anchor = int(cells.lonlat_to_cell(float(lons[0]), float(lats[0]), self.partition_zoom))
         window = tuple(sorted({int(c) for c in cells.cell_disk(anchor, 1)[0].tolist()}))
         key_cells = window if set(needed) <= set(window) else needed
-        hit = (key_cells, search_radius_m) in self._networks
+        hit = (key_cells, search_radius_m, mode, use_speed) in self._networks
         self.net_cache_hits += int(hit)
         self.net_cache_misses += int(not hit)
-        return self.network_for_cells(key_cells, search_radius_m)
+        return self.network_for_cells(key_cells, search_radius_m, mode, use_speed)

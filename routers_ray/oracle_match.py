@@ -434,3 +434,67 @@ def planted_minhash_expected_path() -> str:
     )
     _PLANTED["expected_path"] = path
     return path
+
+
+# ---------------------------------------------------------------------------
+# planted edge-metadata world: the transport-access oracle
+#
+# Deterministic edge table with access-tag combos, road classes and raw
+# maxspeed strings. The Ray query resolves per-mode access via the
+# precomputed-column path (metadata.access_columns); the oracle SQL
+# re-derives it INDEPENDENTLY inside DuckDB: hierarchy-chain join +
+# max-specificity window + value CASE + regex speed parse. Tag templates
+# keep per-(edge, mode) applicable specificities DISTINCT so both engines'
+# argmax is unambiguous.
+
+def planted_metadata_world(n_edges: int = 480, seed: int = 11) -> str:
+    """Write (and cache) the planted metadata edge parquet; returns path."""
+    hit = _PLANTED.get("meta_path")
+    if hit is not None:
+        return hit
+    from .metadata import DIR_BOTH, DIR_FORWARD
+
+    templates = [
+        [],
+        [("all", DIR_BOTH, "private")],
+        [("motor_vehicle", DIR_BOTH, "no"), ("bus", DIR_BOTH, "yes")],
+        [("vehicle", DIR_FORWARD, "no")],
+        [("foot", DIR_BOTH, "no")],
+        [("hgv", DIR_BOTH, "no")],
+        [("bicycle", DIR_BOTH, "yes"), ("vehicle", DIR_BOTH, "no")],
+        [("psv", DIR_BOTH, "yes"), ("motor_vehicle", DIR_BOTH, "no")],
+    ]
+    classes = ["motorway", "primary", "residential", "service", "track", None]
+    speeds = ["50", "30 mph", "none", None, "60 @ (Mo-Fr 06:00-19:00)", "walk", "80", "5 knots"]
+    rng = np.random.default_rng(seed)
+    rows = {
+        "edge_id": [], "dir": [], "road_class": [], "lane_count": [],
+        "maxspeed": [], "access_tags": [],
+    }
+    for e in range(n_edges):
+        t = templates[int(rng.integers(0, len(templates)))]
+        rows["edge_id"].append(e)
+        rows["dir"].append(int(rng.integers(0, 2)))
+        rows["road_class"].append(classes[int(rng.integers(0, len(classes)))])
+        rows["lane_count"].append(int(rng.integers(1, 5)))
+        rows["maxspeed"].append(speeds[int(rng.integers(0, len(speeds)))])
+        rows["access_tags"].append(
+            [{"mode": m, "dir": d, "value": v} for m, d, v in t]
+        )
+    from .metadata import ACCESS_TAG_TYPE
+
+    tbl = pa.table(
+        {
+            "edge_id": pa.array(rows["edge_id"], pa.int64()),
+            "dir": pa.array(rows["dir"], pa.uint8()),
+            "road_class": pa.array(rows["road_class"], pa.string()),
+            "lane_count": pa.array(rows["lane_count"], pa.int32()),
+            "maxspeed": pa.array(rows["maxspeed"], pa.string()),
+            "access_tags": pa.array(rows["access_tags"], ACCESS_TAG_TYPE),
+        }
+    )
+    out_dir = tempfile.mkdtemp(prefix="routers_ray_oracle_meta_")
+    path = os.path.join(out_dir, "planted_edges.parquet")
+    pq.write_table(tbl, path)
+    _PLANTED["meta_path"] = path
+    return path

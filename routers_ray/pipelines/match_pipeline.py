@@ -228,7 +228,8 @@ def match_batch(
             hop_len.append(-1), o_err.append([]), o_span_row.append(i)
             continue
         net = store.network_for_doc(
-            ll, la, buffer_m=buffer_m, search_radius_m=opts.search_distance_m
+            ll, la, buffer_m=buffer_m, search_radius_m=opts.search_distance_m,
+            mode=opts.transport_mode, use_speed=opts.use_speed,
         )
         try:
             res = match_trajectory(net, ll, la, opts)

@@ -1010,6 +1010,132 @@ def sql_media_features() -> str:
     """
 
 
+def q_transport_access(sf_dir: str):
+    """Per-transport-mode edge accessibility + speed/class metadata over
+    the planted metadata world — the precomputed-access-column path
+    (``metadata.access_columns`` most-specific-wins resolution) as a
+    distributed partial aggregation."""
+    import ray.data as rd
+
+    from ..metadata import (
+        ACCESS_MODES,
+        access_columns,
+        class_weight_column,
+        parse_maxspeed_column,
+    )
+    from ..oracle_match import planted_metadata_world
+
+    path = planted_metadata_world()
+    ds = rd.read_parquet(path)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = access_columns(b["access_tags"], b["dir"])
+        speed = parse_maxspeed_column(b["maxspeed"])
+        cw = class_weight_column(b["road_class"]).astype(np.int64)
+        has_speed = ~np.isnan(speed)
+        sx100 = np.floor(np.where(has_speed, speed, 0.0) * 100.0 + 0.5).astype(np.int64)
+        modes, n_acc, s_cw, n_sp, s_sp = [], [], [], [], []
+        for m in ACCESS_MODES:
+            acc = cols[m]
+            modes.append(m)
+            n_acc.append(int(acc.sum()))
+            s_cw.append(int(cw[acc].sum()))
+            n_sp.append(int(has_speed.sum()))
+            s_sp.append(int(sx100.sum()))
+        return pa.table(
+            {
+                "mode": pa.array(modes, pa.string()),
+                "n_accessible": pa.array(n_acc, pa.int64()),
+                "sum_class_weight": pa.array(s_cw, pa.int64()),
+                "n_speed": pa.array(n_sp, pa.int64()),
+                "sum_speed_x100": pa.array(s_sp, pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby("mode").sum(
+        ["n_accessible", "sum_class_weight", "n_speed", "sum_speed_x100"]
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(
+            ["mode", "n_accessible", "sum_class_weight", "n_speed", "sum_speed_x100"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sql_transport_access() -> str:
+    """Independent SQL re-derivation: hierarchy-chain join + max-specificity
+    window (``osm/mod.rs:200-235``) + regex speed parse + class CASE."""
+    from ..metadata import ROAD_CLASS_WEIGHT, SPECIFICITY, TRANSPORT_CHAIN
+    from ..oracle_match import planted_metadata_world
+
+    path = planted_metadata_world()
+    query_modes = ("foot", "bicycle", "motorcar", "bus", "hgv")
+    chain_rows = ", ".join(
+        f"('{m}', '{anc}')" for m in query_modes for anc in TRANSPORT_CHAIN[m]
+    )
+    spec_rows = ", ".join(f"('{t}', {s})" for t, s in SPECIFICITY.items())
+    class_cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in ROAD_CLASS_WEIGHT.items()
+    )
+    return rf"""
+    WITH e AS (SELECT * FROM read_parquet('{path}')),
+    modes(mode) AS (VALUES {', '.join(f"('{m}')" for m in query_modes)}),
+    chain(mode, anc) AS (VALUES {chain_rows}),
+    spec(tmode, s) AS (VALUES {spec_rows}),
+    exploded AS (SELECT edge_id, dir, unnest(access_tags) AS tag FROM e),
+    flat AS (
+      SELECT edge_id, dir, tag['mode'] AS tmode, tag['dir'] AS tdir, tag['value'] AS tval
+      FROM exploded
+    ),
+    applicable AS (
+      SELECT f.edge_id, m.mode, f.tval, s.s
+      FROM flat f
+      JOIN modes m ON TRUE
+      JOIN chain c ON c.mode = m.mode AND c.anc = f.tmode
+      JOIN spec s ON s.tmode = f.tmode
+      WHERE f.tdir = 2 OR (f.tdir = 0 AND f.dir = 0) OR (f.tdir = 1 AND f.dir = 1)
+    ),
+    win AS (
+      SELECT edge_id, mode, tval,
+             row_number() OVER (PARTITION BY edge_id, mode ORDER BY s DESC) AS rn
+      FROM applicable
+    ),
+    em AS (SELECT e.edge_id, e.road_class, e.maxspeed, m.mode FROM e, modes m),
+    decided AS (
+      SELECT em.edge_id, em.mode, em.road_class, em.maxspeed,
+             CASE WHEN w.tval IS NULL THEN TRUE  -- default allow
+                  WHEN w.tval = 'yes' THEN TRUE
+                  ELSE FALSE END AS acc
+      FROM em
+      LEFT JOIN (SELECT edge_id, mode, tval FROM win WHERE rn = 1) w
+        ON w.edge_id = em.edge_id AND w.mode = em.mode
+    ),
+    scored AS (
+      SELECT mode, acc,
+             CASE road_class {class_cases} ELSE 50 END AS cw,
+             CASE WHEN maxspeed IS NULL THEN NULL
+                  WHEN lower(trim(maxspeed)) = 'none' THEN 200.0
+                  WHEN lower(trim(maxspeed)) = 'walk' THEN 5.0
+                  ELSE CAST(regexp_extract(lower(split_part(maxspeed, '@', 1)),
+                                           '(\d+(?:\.\d+)?)', 1) AS DOUBLE)
+                       * (CASE WHEN lower(split_part(maxspeed, '@', 1)) LIKE '%mph%'
+                               THEN 1.609344
+                               WHEN lower(split_part(maxspeed, '@', 1)) LIKE '%knots%'
+                               THEN 1.852 ELSE 1.0 END)
+             END AS kmh
+      FROM decided
+    )
+    SELECT mode,
+           SUM(CASE WHEN acc THEN 1 ELSE 0 END) AS n_accessible,
+           SUM(CASE WHEN acc THEN cw ELSE 0 END) AS sum_class_weight,
+           SUM(CASE WHEN kmh IS NOT NULL THEN 1 ELSE 0 END) AS n_speed,
+           SUM(CASE WHEN kmh IS NOT NULL THEN CAST(floor(kmh * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS sum_speed_x100
+    FROM scored GROUP BY mode
+    """
+
+
 _MATCH_WORLD: dict = {}
 
 
@@ -1382,6 +1508,7 @@ def registry() -> dict[str, tuple]:
         # only when an oracle consumer resolves it)
         "match": (q_match, sql_match),
         "match_tiles": (q_match_tiles, sql_match_tiles),
+        "transport_access": (q_transport_access, sql_transport_access()),
         "timezone": (q_timezone, sql_timezone()),
         "sessionize": (q_sessionize, sql_sessionize()),
         "embed_dups": (q_embed_dups, sql_embed_dups()),
