@@ -134,7 +134,10 @@ def run_bench() -> dict:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         ctx.max_hash_shuffle_aggregators = 4
         try:
-            pool_h = max(2, int(NUM_CPUS * 0.75))
+            # the pool must leave room for the 4 aggregator actors + feed
+            # tasks — an actor pool + aggregators exceeding the CPU count
+            # deadlocks the exchange (observed at 8 CPUs: 6 + 4 > 8)
+            pool_h = max(2, min(int(NUM_CPUS * 0.75), NUM_CPUS - 4 - 2))
             t0 = time.perf_counter()
             mh = match_documents(
                 rd.read_parquet(
@@ -184,6 +187,32 @@ def run_bench() -> dict:
             res.count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # ANN quality datapoint: multi-table multi-probe LSH recall vs brute
+    ann_recall = None
+    if not scaling_child:
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as papq
+
+            from routers_ray.sim import _stack_embeddings, ann_recall_at_k
+
+            etbl = papq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+            qtbl = etbl.filter(pa.compute.less(etbl["vec_id"], 8))
+            eds = rd.read_parquet(
+                os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+            )
+            ann_recall = round(
+                ann_recall_at_k(
+                    eds,
+                    _stack_embeddings(qtbl["embedding"]),
+                    __import__("numpy").asarray(qtbl["vec_id"]),
+                    k=10,
+                ),
+                3,
+            )
+        except Exception:
+            pass
+
     result = {
         "metric": "match_tiles_pipeline_sec",
         "value": timings["match_tiles"],
@@ -195,6 +224,7 @@ def run_bench() -> dict:
         "matched_docs": int(n_ok_docs),
         "n_tiles": int(n_tiles),
         "matched_docs_per_sec": round(n_ok_docs / t_headline, 2),
+        "ann_recall_at_10": ann_recall,
     }
     ray.shutdown()
     return result

@@ -498,3 +498,34 @@ def planted_metadata_world(n_edges: int = 480, seed: int = 11) -> str:
     pq.write_table(tbl, path)
     _PLANTED["meta_path"] = path
     return path
+
+
+def hilbert_lookup_path(z: int) -> str:
+    """(x, y, hilbert) lookup parquet at order ``z`` computed by the
+    independent scalar Hilbert implementation — lets DuckDB oracles join a
+    hilbert column they cannot express natively. Cached per process."""
+    key = f"hilbert_{z}"
+    hit = _PLANTED.get(key)
+    if hit is not None:
+        return hit
+    n = 1 << z
+    xs, ys, hs = [], [], []
+    for x in range(n):
+        for y in range(n):
+            xs.append(x)
+            ys.append(y)
+            hs.append(_hilbert_xy2d(x, y, z))
+    out_dir = tempfile.mkdtemp(prefix="routers_ray_oracle_hilbert_")
+    path = os.path.join(out_dir, f"hilbert_z{z}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "x": pa.array(xs, pa.int64()),
+                "y": pa.array(ys, pa.int64()),
+                "hilbert": pa.array(hs, pa.int64()),
+            }
+        ),
+        path,
+    )
+    _PLANTED[key] = path
+    return path

@@ -1010,6 +1010,89 @@ def sql_media_features() -> str:
     """
 
 
+Z_DATED = 7
+_DATED_RANGES = (
+    # Mon-Fri of the first three January 2024 weeks, inclusive boundaries
+    ("2024-01-02", "2024-01-19", "0-1-2-3-4"),
+    # weekends of February 2024
+    ("2024-02-01", "2024-02-25", "5-6"),
+)
+
+
+def q_tiles_dated(sf_dir: str):
+    """Date-keyed tile scan: events filtered by DatedRanges (date-range ∧
+    weekday-set, ``query/range.rs``), rolled up per (date, z, x, y) with
+    the Hilbert row-key component (``example/tile.rs:111-146``)."""
+    import ray.data as rd
+
+    from ..tiles import DatedRange, materialize_dated_tiles
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "ts"])
+
+    def _pts(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        lon, lat = event_lonlat(eid)
+        ts = np.asarray(pc.cast(b["ts"], pa.int64()))  # µs epoch
+        return pa.table(
+            {
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+                "ts_us": pa.array(ts, pa.int64()),
+            }
+        )
+
+    ranges = [DatedRange.parse(s, e, w) for s, e, w in _DATED_RANGES]
+    t = materialize_dated_tiles(ds.map_batches(_pts, batch_format="pyarrow"), [Z_DATED], ranges)
+    return pa.table(
+        {
+            "date": pc.cast(t["date"], pa.int64()),
+            "z": pc.cast(t["z"], pa.int64()),
+            "x": pc.cast(t["x"], pa.int64()),
+            "y": pc.cast(t["y"], pa.int64()),
+            "n_points": t["n_points"],
+            "hilbert": pa.array(np.asarray(t["hilbert"]).astype(np.uint64).view(np.int64), pa.int64()),
+        }
+    )
+
+
+def sql_tiles_dated() -> str:
+    from ..oracle_match import hilbert_lookup_path
+
+    x, y = SQL_SLIPPY(Z_DATED)
+    lookup = hilbert_lookup_path(Z_DATED)
+    conds = []
+    for s, e, w in _DATED_RANGES:
+        import datetime as dt
+
+        epoch = dt.date(1970, 1, 1)
+        sd = (dt.date.fromisoformat(s) - epoch).days
+        ed = (dt.date.fromisoformat(e) - epoch).days
+        days = ",".join(w.split("-"))
+        conds.append(
+            f"(us >= {sd * 86_400_000_000} AND us <= {ed * 86_400_000_000} "
+            f"AND ((us // 86400000000) + 3) % 7 IN ({days}))"
+        )
+    cond = " OR ".join(conds)
+    return f"""
+    WITH pts AS ({SQL_EVENT_PTS}),
+    f AS (
+      SELECT lon, lat, epoch_us(ts) AS us FROM pts
+      WHERE {cond}
+    ),
+    cells AS (
+      SELECT CAST(strftime(to_timestamp((us // 86400000000) * 86400), '%y%m%d') AS BIGINT) AS date,
+             {x} AS x, {y} AS y
+      FROM f
+    ),
+    agg AS (
+      SELECT date, {Z_DATED} AS z, x, y, COUNT(*) AS n_points
+      FROM cells GROUP BY date, x, y
+    )
+    SELECT a.date, a.z, a.x, a.y, a.n_points, h.hilbert
+    FROM agg a JOIN read_parquet('{lookup}') h ON h.x = a.x AND h.y = a.y
+    """
+
+
 def q_transport_access(sf_dir: str):
     """Per-transport-mode edge accessibility + speed/class metadata over
     the planted metadata world — the precomputed-access-column path
@@ -1508,6 +1591,7 @@ def registry() -> dict[str, tuple]:
         # only when an oracle consumer resolves it)
         "match": (q_match, sql_match),
         "match_tiles": (q_match_tiles, sql_match_tiles),
+        "tiles_dated": (q_tiles_dated, sql_tiles_dated()),
         "transport_access": (q_transport_access, sql_transport_access()),
         "timezone": (q_timezone, sql_timezone()),
         "sessionize": (q_sessionize, sql_sessionize()),

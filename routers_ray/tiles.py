@@ -16,6 +16,8 @@ not points.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pyarrow as pa
 
@@ -200,3 +202,184 @@ def materialize_tiles(matched_ds, zooms: list[int], merge: str = "driver"):
     hh = np.asarray(out["hilbert"]).astype(np.uint64)
     final_order = np.lexsort((hh, zz))
     return out.take(pa.array(final_order))
+
+
+# ---------------------------------------------------------------------------
+# date-keyed tiles (``{hilbert:012}/{prefix}/{yymmdd}`` row keys scanned by
+# date-range + weekday-set — example/tile.rs:111-146, query/range.rs)
+
+US_PER_DAY = 86_400_000_000
+
+
+@dataclass(frozen=True)
+class DatedRange:
+    """``DatedRange.within`` port (``query/range.rs:93-104``): timestamp ∈
+    [start-day 00:00, end-day 00:00] (per the reference's midnight-boundary
+    Range<UtcDate> compare) ∧ weekday ∈ set (Mon=0 … Sun=6,
+    ``range.rs:64-88``)."""
+
+    start_day: int  # days since epoch (UTC)
+    end_day: int
+    weekdays: frozenset
+    exclusive: bool = False
+
+    @classmethod
+    def parse(cls, start: str, end: str, weekdays: str, exclusive: bool = False) -> "DatedRange":
+        """REQUEST_FORMAT dates ('%Y-%m-%d', date.rs:6) + '0-2-4'-style
+        weekday string (range.rs:70)."""
+        import datetime as dt
+
+        epoch = dt.date(1970, 1, 1)
+        return cls(
+            (dt.date.fromisoformat(start) - epoch).days,
+            (dt.date.fromisoformat(end) - epoch).days,
+            frozenset(int(x) for x in weekdays.split("-")),
+            exclusive,
+        )
+
+    def within_us(self, ts_us) -> np.ndarray:
+        ts = np.asarray(ts_us, dtype=np.int64)
+        start = self.start_day * US_PER_DAY
+        end = self.end_day * US_PER_DAY
+        if self.exclusive:
+            m = (ts > start) & (ts < end)
+        else:
+            m = (ts >= start) & (ts <= end)
+        wd = ((ts // US_PER_DAY) + 3) % 7  # 1970-01-01 = Thursday; Mon=0
+        return m & np.isin(wd, np.asarray(sorted(self.weekdays), dtype=np.int64))
+
+
+def yymmdd_of_days(days: np.ndarray) -> np.ndarray:
+    """days-since-epoch → yymmdd int32 (STORAGE_FORMAT '%y%m%d',
+    date.rs:5). Converts per DISTINCT day — tile tables span few days."""
+    import datetime as dt
+
+    days = np.asarray(days, dtype=np.int64)
+    uniq, inv = np.unique(days, return_inverse=True)
+    conv = np.asarray(
+        [
+            int((dt.date(1970, 1, 1) + dt.timedelta(days=int(d))).strftime("%y%m%d"))
+            for d in uniq.tolist()
+        ],
+        dtype=np.int32,
+    )
+    return conv[inv]
+
+
+def dated_tile_partials(
+    batch: pa.Table, zooms: list[int], lon_col="lon", lat_col="lat", ts_col="ts_us"
+) -> pa.Table:
+    """Per-batch partials keyed (date, z, x, y) — the dated row-key
+    dimension added to :func:`tile_partials`' count aggregation."""
+    lon = np.asarray(batch[lon_col], dtype=np.float64)
+    lat = np.asarray(batch[lat_col], dtype=np.float64)
+    if lon.size == 0:
+        return pa.table(
+            {
+                "date": pa.array([], pa.int32()),
+                "z": pa.array([], pa.uint8()),
+                "x": pa.array([], pa.uint32()),
+                "y": pa.array([], pa.uint32()),
+                "n_points": pa.array([], pa.int64()),
+            }
+        )
+    day = np.asarray(batch[ts_col], dtype=np.int64) // US_PER_DAY
+    date = yymmdd_of_days(day).astype(np.int64)
+
+    ds_, zs, xs, ys, ns = [], [], [], [], []
+    for z in zooms:
+        x, y = lonlat_to_tile(lon, lat, z)
+        key = (
+            (date.astype(np.uint64) << np.uint64(40))
+            | (x.astype(np.uint64) << np.uint64(20))
+            | y.astype(np.uint64)
+        )
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        bounds = np.flatnonzero(np.concatenate(([True], key_s[1:] != key_s[:-1])))
+        counts = np.diff(np.append(bounds, key_s.size))
+        ds_.append((key_s[bounds] >> np.uint64(40)).astype(np.int32))
+        xs.append(((key_s[bounds] >> np.uint64(20)) & np.uint64(0xFFFFF)).astype(np.uint32))
+        ys.append((key_s[bounds] & np.uint64(0xFFFFF)).astype(np.uint32))
+        zs.append(np.full(bounds.size, z, dtype=np.uint8))
+        ns.append(counts.astype(np.int64))
+    return pa.table(
+        {
+            "date": pa.array(np.concatenate(ds_), pa.int32()),
+            "z": pa.array(np.concatenate(zs), pa.uint8()),
+            "x": pa.array(np.concatenate(xs), pa.uint32()),
+            "y": pa.array(np.concatenate(ys), pa.uint32()),
+            "n_points": pa.array(np.concatenate(ns), pa.int64()),
+        }
+    )
+
+
+def materialize_dated_tiles(
+    pts_ds, zooms: list[int], ranges: list[DatedRange],
+    lon_col="lon", lat_col="lat", ts_col="ts_us",
+) -> pa.Table:
+    """Dated tile rollup: filter to the union of the DatedRanges (the
+    reference's flat_map over row ranges), per-batch partials keyed
+    (date, z, x, y), bounded driver merge, Hilbert key, ordered by the row
+    key (hilbert, date — example/tile.rs:115-117)."""
+
+    def _part(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b[ts_col], dtype=np.int64)
+        m = np.zeros(ts.size, dtype=bool)
+        for r in ranges:
+            m |= r.within_us(ts)
+        return dated_tile_partials(
+            b.filter(pa.array(m)), zooms, lon_col, lat_col, ts_col
+        )
+
+    partials = pts_ds.map_batches(_part, batch_format="pyarrow")
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    empty = pa.table(
+        {
+            "date": pa.array([], pa.int32()),
+            "z": pa.array([], pa.uint8()),
+            "x": pa.array([], pa.uint32()),
+            "y": pa.array([], pa.uint32()),
+            "n_points": pa.array([], pa.int64()),
+            "hilbert": pa.array([], pa.uint64()),
+        }
+    )
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs)
+    if len(t) == 0:
+        return empty
+    date = np.asarray(t["date"], dtype=np.int64)
+    z = np.asarray(t["z"], dtype=np.int64)
+    x = np.asarray(t["x"]).astype(np.uint64)
+    y = np.asarray(t["y"]).astype(np.uint64)
+    key = (
+        (date.astype(np.uint64) << np.uint64(46))
+        | (z.astype(np.uint64) << np.uint64(40))
+        | (x << np.uint64(20))
+        | y
+    )
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    bounds = np.flatnonzero(np.concatenate(([True], key_s[1:] != key_s[:-1])))
+    n = np.asarray(t["n_points"], dtype=np.int64)[order]
+    n_m = np.add.reduceat(n, bounds)
+    sel = order[bounds]
+    out = pa.table(
+        {
+            "date": pa.array(date[sel].astype(np.int32), pa.int32()),
+            "z": pa.array(z[sel].astype(np.uint8), pa.uint8()),
+            "x": pa.array(x[sel].astype(np.uint32), pa.uint32()),
+            "y": pa.array(y[sel].astype(np.uint32), pa.uint32()),
+            "n_points": pa.array(n_m, pa.int64()),
+        }
+    )
+    out = add_hilbert(out)
+    zz = np.asarray(out["z"], dtype=np.int64)
+    hh = np.asarray(out["hilbert"]).astype(np.uint64)
+    dd = np.asarray(out["date"], dtype=np.int64)
+    final = np.lexsort((dd, hh, zz))
+    return out.take(pa.array(final))
