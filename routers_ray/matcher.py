@@ -74,6 +74,21 @@ class MatchOptions:
     # edge weights (metadata.py / costing.speed_weight)
     transport_mode: str | None = None
     use_speed: bool = False
+    # --- user-extension surface (the reference's injection traits) -------
+    # generator(net, lons, lats, opts) -> list[Layer]   (LayerGeneration,
+    #   layer/generation/mod.rs:27-45)
+    # emission(dist_m, opts) -> uint32 costs            (EmissionStrategy,
+    #   costing/mod.rs:23-61)
+    # weigher(ctx) -> Trellis                           (Weigher,
+    #   weigh/mod.rs:35-50; the built-in Selective variant is the `fanout`
+    #   knob — variant.rs:19-33)
+    # solver: "viterbi" | "brute" | callable(trellis) -> (nodes, cost)
+    #   (Solve, solver/mod.rs:13-15)
+    # Callables must be module-level (they ride pickled actor kwargs).
+    generator: object = None
+    emission: object = None
+    weigher: object = None
+    solver: object = "viterbi"
 
 
 @dataclass
@@ -121,11 +136,18 @@ class MatchResult:
 
 def generate_layers(net: CellNetwork, lons, lats, opts: MatchOptions) -> list[Layer]:
     """Candidate layers for every trajectory point (standard generator) —
-    one batched geometric pass for the whole trajectory."""
+    one batched geometric pass for the whole trajectory. A custom
+    ``opts.generator`` replaces the whole stage; a custom ``opts.emission``
+    replaces only the cost kernel."""
+    if opts.generator is not None:
+        return opts.generator(net, lons, lats, opts)
     lons = np.asarray(lons, dtype=np.float64)
     lats = np.asarray(lats, dtype=np.float64)
     offsets, rows, frac, px, py, dist = net.candidates_batch(lons, lats, opts.search_distance_m)
-    emis = emission_cost(dist, opts.emission_error_m) if rows.size else np.empty(0, np.uint32)
+    emis_fn = opts.emission if opts.emission is not None else (
+        lambda d, o: emission_cost(d, o.emission_error_m)
+    )
+    emis = np.asarray(emis_fn(dist, opts), dtype=np.uint32) if rows.size else np.empty(0, np.uint32)
     out = []
     for i in range(lons.size):
         lo, hi = offsets[i], offsets[i + 1]
@@ -140,6 +162,18 @@ def generate_layers(net: CellNetwork, lons, lats, opts: MatchOptions) -> list[La
             )
         )
     return out
+
+
+def _solve(trellis, opts: MatchOptions):
+    """Solver dispatch — the ``Solve`` injection point (solver/mod.rs)."""
+    if callable(opts.solver):
+        return opts.solver(trellis)
+    if opts.solver == "brute":
+        from .trellis import brute_force_solve
+
+        nodes, cost = brute_force_solve(trellis)
+        return np.asarray(nodes, dtype=np.int64), cost
+    return viterbi_solve(trellis)
 
 
 def _predicates(net: CellNetwork, root_idx: int, threshold_cm: float):
@@ -580,12 +614,12 @@ def match_trajectory(net: CellNetwork, lons, lats, opts: MatchOptions | None = N
             raise MatchError("unanchored", empty_seqs)
 
     ctx = _TrajectoryContext(net, layers, opts)
-    trellis = ctx.weigh_all()
+    trellis = opts.weigher(ctx) if opts.weigher is not None else ctx.weigh_all()
     pending = trellis.pending_boundaries()
     if pending:
         raise MatchError("disconnected", frontier_collapse(trellis))
     try:
-        nodes, cost = viterbi_solve(trellis)
+        nodes, cost = _solve(trellis, opts)
     except UnreachableError:
         raise MatchError("disconnected", frontier_collapse(trellis)) from None
 
@@ -657,6 +691,21 @@ def match_trajectories(
     opts = opts or MatchOptions()
     n_docs = len(docs)
     results: list = [None] * n_docs
+
+    if (
+        opts.generator is not None
+        or opts.emission is not None
+        or opts.weigher is not None
+        or opts.solver != "viterbi"
+    ):
+        # injected stages → the per-doc path honors them directly; the
+        # batched kernel is an optimization of the DEFAULT stages only
+        for d, (ll, la) in enumerate(docs):
+            try:
+                results[d] = match_trajectory(net, ll, la, opts)
+            except MatchError as e:
+                results[d] = e
+        return results
 
     # one candidate pass over every point of every doc
     all_lons = [np.asarray(d[0], dtype=np.float64) for d in docs]

@@ -964,17 +964,25 @@ def q_media_features(sf_dir: str):
     ).map_batches(resize_plan_batch, batch_format="pyarrow")
 
     def _rollup(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame(
+        # per-batch partial rollup in numpy (sorted-group reduceat —
+        # no pandas in the hot path)
+        doc = np.asarray(b["doc_id"].to_pylist(), dtype=object)
+        order = np.argsort(doc, kind="stable")
+        doc_s = doc[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], doc_s[1:] != doc_s[:-1]))
+        )
+        pay = np.asarray(b["payload_bytes"], dtype=np.int64)[order]
+        rw = np.asarray(b["resize_w"], dtype=np.int64)[order]
+        counts = np.diff(np.append(bounds, doc_s.size))
+        return pa.table(
             {
-                "doc_id": b["doc_id"].to_pylist(),
-                "n_media": np.ones(len(b), dtype=np.int64),
-                "sum_payload_bytes": np.asarray(b["payload_bytes"], dtype=np.int64),
-                "sum_resize_w": np.asarray(b["resize_w"], dtype=np.int64),
+                "doc_id": pa.array(doc_s[bounds].tolist(), pa.string()),
+                "n_media": pa.array(counts.astype(np.int64), pa.int64()),
+                "sum_payload_bytes": pa.array(np.add.reduceat(pay, bounds), pa.int64()),
+                "sum_resize_w": pa.array(np.add.reduceat(rw, bounds), pa.int64()),
             }
         )
-        return pa.Table.from_pandas(df.groupby("doc_id", as_index=False).sum(), preserve_index=False)
 
     out = feats.map_batches(_rollup, batch_format="pyarrow").groupby("doc_id").sum(
         ["n_media", "sum_payload_bytes", "sum_resize_w"]

@@ -50,9 +50,15 @@ def tokenize_batch(texts: pa.Array) -> pa.ListArray:
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count per doc.
+
+    Edge semantics (CONTRACT, mirrored by every SQL oracle): the count is
+    ``len(string_split_regex(text, '\\s+'))`` — an empty string counts as
+    ONE token (the single empty split piece), matching
+    ``len(string_split_regex('', ...)) = 1`` in DuckDB. Callers needing
+    python ``str.split()`` semantics (empty → 0) must filter empty texts
+    first; the sf corpora contain none."""
     toks = tokenize_batch(batch[text_col])
-    # split_pattern_regex never yields empty lists for non-empty strings;
-    # empty string → [""] — count handled by the caller's semantics
     n = pc.list_value_length(toks)
     return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
 

@@ -305,3 +305,21 @@ def test_ann_lsh_multiprobe_recall(ray_session):
     assert recall >= 0.9, f"multi-probe recall {recall}"
     recall0 = ann_recall_at_k(ds, queries, qids, k=10, probe_hamming=0)
     assert recall0 <= recall  # probes can only add candidates
+
+
+def test_conformance_sweep_runner():
+    """Multi-config sweep harness (conformance/src/runner.rs analogue):
+    every (config, trace) pair yields a full percentile row."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "conformance", "tools/conformance.py"
+    )
+    conf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(conf)
+    metrics = conf.run_sweep(iters=3, warmup=1)
+    assert len(metrics) == len(conf.CONFIGS) * 4
+    for key, m in metrics.items():
+        assert m["n"] == 3
+        assert m["p50"] >= m["p15"] >= 0
+        assert m["throughput_pts_per_s"] > 0
