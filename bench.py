@@ -112,7 +112,9 @@ def run_bench() -> dict:
         salt=False,
     )
     matched_ok(matched).write_parquet(out_dir)
-    ok = rd.read_parquet(out_dir)
+    # prune at the read: the tile stage needs 4 of the 13 written columns
+    # (hop_path dominates row bytes and stays on disk)
+    ok = rd.read_parquet(out_dir, columns=["doc_id", "seq", "snap_lon", "snap_lat"])
     tiles = materialize_tiles(ok, zooms=[10, 13, 15])
     n_tiles = tiles.num_rows
     t_headline = time.perf_counter() - t0

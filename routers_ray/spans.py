@@ -156,3 +156,48 @@ def span_signature(spans_col) -> list[tuple]:
         [(s["kind"], s["text"], s["media_ref"]) for s in row] if row is not None else None
         for row in arr.to_pylist()
     ]
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON trace loader (conformance/src/trace/loader.rs:29-56)
+
+
+def load_geojson_trace(path_or_obj) -> tuple[str, np.ndarray, np.ndarray]:
+    """One GeoJSON Feature file (or parsed dict) → (id, lons, lats).
+
+    The file must hold a single Feature with LineString geometry; each
+    coordinate is [longitude, latitude] per the GeoJSON spec — the
+    reference's ``GpsTrace`` loader contract."""
+    import json
+
+    if isinstance(path_or_obj, (str, bytes)):
+        with open(path_or_obj) as f:
+            feature = json.load(f)
+    else:
+        feature = path_or_obj
+    geom = feature.get("geometry") or {}
+    if geom.get("type") != "LineString":
+        raise ValueError(f"expected LineString geometry, got {geom.get('type')!r}")
+    coords = np.asarray(geom["coordinates"], dtype=np.float64)
+    trace_id = str((feature.get("properties") or {}).get("id", ""))
+    return trace_id, coords[:, 0], coords[:, 1]
+
+
+def traces_to_docs(traces, ts_step_us: int = 1_000_000) -> pa.Table:
+    """GeoJSON traces → the interleaved-doc table shape (input_hint): each
+    point becomes a '<lon> <lat> <ts>' text span — so external traces enter
+    the same pipeline as the synthetic corpus."""
+    doc_ids, spans_col = [], []
+    for trace_id, lons, lats in traces:
+        spans = [
+            {
+                "kind": "text",
+                "text": f"{lons[i]} {lats[i]} {(i + 1) * ts_step_us}",
+                "media_ref": "",
+                "offset": i,
+            }
+            for i in range(len(lons))
+        ]
+        doc_ids.append(trace_id)
+        spans_col.append(spans)
+    return pa.table({"doc_id": doc_ids, "spans": spans_col}, schema=DOCS_SCHEMA)

@@ -2,6 +2,7 @@
 ``realtime/bin/orchestrator.rs:626-669``)."""
 
 import numpy as np
+import pytest
 import pyarrow as pa
 
 from routers_ray.spans import DOCS_SCHEMA, normalize_points, parse_trajectories, span_signature
@@ -120,3 +121,34 @@ def test_parse_is_vectorized_over_many_rows():
     assert out["n_pts"].to_pylist() == [1] * 500
     lons = np.asarray([x[0] for x in out["pts_lon"].to_pylist()])
     assert np.allclose(lons, np.arange(500) * 0.001)
+
+
+def test_geojson_trace_loader(tmp_path):
+    """conformance/src/trace/loader.rs:29-56 contract: single Feature with
+    LineString geometry; [lon, lat] coordinate order; id from properties."""
+    import json
+
+    from routers_ray.spans import load_geojson_trace, parse_trajectories, traces_to_docs
+
+    feature = {
+        "type": "Feature",
+        "properties": {"id": "trip-1"},
+        "geometry": {
+            "type": "LineString",
+            "coordinates": [[-118.151, 34.15], [-118.155, 34.1502]],
+        },
+    }
+    p = tmp_path / "trace.geojson"
+    p.write_text(json.dumps(feature))
+    tid, lons, lats = load_geojson_trace(str(p))
+    assert tid == "trip-1"
+    assert lons.tolist() == [-118.151, -118.155]
+    assert lats.tolist() == [34.15, 34.1502]
+
+    with pytest.raises(ValueError):
+        load_geojson_trace({"geometry": {"type": "Point", "coordinates": [0, 0]}})
+
+    docs = traces_to_docs([(tid, lons, lats)])
+    parsed = parse_trajectories(docs)
+    assert parsed["n_pts"].to_pylist() == [2]
+    assert np.asarray(parsed["pts_lon"].to_pylist()[0]).tolist() == lons.tolist()
