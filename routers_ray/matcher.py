@@ -307,7 +307,8 @@ class _TrajectoryContext:
         widths = [ly.edge_rows.size for ly in layers]
         t = Trellis.new(widths)
         for i, ly in enumerate(layers):
-            t.fill_nodes(i, np.minimum(ly.emission.astype(np.int64), MAX_WEIGHT))
+            # emissions already clamped to MAX_WEIGHT by the minimum
+            t.fill_nodes(i, np.minimum(ly.emission.astype(np.int64), MAX_WEIGHT), validate=False)
         if L < 2:
             return t
         loff = np.concatenate(([0], np.cumsum(widths))).astype(np.int64)
@@ -331,21 +332,22 @@ class _TrajectoryContext:
         s_lon, s_lat = float(F.pos_lon[si]), float(F.pos_lat[si])
         t_lon, t_lat = float(T.pos_lon[ti]), float(T.pos_lat[ti])
         direct = s_row == t_row and F.frac[si] <= T.frac[ti]
-        if direct:
-            lons = np.array([s_lon, t_lon])
-            lats = np.array([s_lat, t_lat])
-        else:
+        info = None
+        if not direct:
             info = self.path_info(int(net.dst_idx[s_row]), int(net.src_idx[t_row]))
-            if info is None:
-                lons = np.array([s_lon, t_lon])
-                lats = np.array([s_lat, t_lat])
-            else:
-                lons = np.concatenate(([s_lon], info.lons, [t_lon]))
-                lats = np.concatenate(([s_lat], info.lats, [t_lat]))
-        if lons.size > 1:
-            keep = np.concatenate(([True], (np.diff(lons) != 0) | (np.diff(lats) != 0)))
-            lons, lats = lons[keep], lats[keep]
-        return lons, lats
+        if info is None:
+            # direct / unroutable hop: two points (one if coincident)
+            if s_lon == t_lon and s_lat == t_lat:
+                return np.array([s_lon]), np.array([s_lat])
+            return np.array([s_lon, t_lon]), np.array([s_lat, t_lat])
+        lons = np.concatenate(([s_lon], info.lons, [t_lon]))
+        lats = np.concatenate(([s_lat], info.lats, [t_lat]))
+        # consecutive-duplicate seam dedup (route.rs:129) — sliced ufunc
+        # compares, not np.diff wrappers (hot path: one call per hop)
+        keep = np.empty(lons.size, dtype=bool)
+        keep[0] = True
+        np.logical_or(lons[1:] != lons[:-1], lats[1:] != lats[:-1], out=keep[1:])
+        return lons[keep], lats[keep]
 
 
 def _weigh_kernel(ctx: "_TrajectoryContext", c_row, c_frac, c_lon, c_lat, loff, bf):

@@ -82,11 +82,11 @@ class Trellis:
         if len(self.widths) > 1:
             self.boundaries.append(None)
 
-    def fill_nodes(self, layer: int, weights) -> None:
+    def fill_nodes(self, layer: int, weights, validate: bool = True) -> None:
         w = np.asarray(weights, dtype=np.int64)
         if w.size != self.widths[layer]:
             raise TrellisError("node weight length mismatch")
-        if np.any(w > MAX_WEIGHT) or np.any(w < 0):
+        if validate and (np.any(w > MAX_WEIGHT) or np.any(w < 0)):
             raise TrellisError("weight too large")
         self.node_weights[layer] = w
 
@@ -126,11 +126,11 @@ def _forward(trellis: Trellis) -> list[np.ndarray]:
     dist = [trellis.node_weights[0].astype(np.int64)]
     for i, mat in enumerate(trellis.boundaries):
         cur = dist[-1]
-        live = cur < INF_W
-        if np.any(live):
-            nxt = (cur[live, None] + mat[live, :]).min(axis=0)
-        else:
-            nxt = np.full(trellis.widths[i + 1], INF_W, dtype=np.int64)
+        # no live-row mask: a dead row's sum is ≥ INF_W (cur ≥ INF_W,
+        # edge ≥ 0) so it can never beat a live sum (< INF_W) nor change
+        # the ≥ INF_W unreachable classification — dropping the mask
+        # removes a np.any + two fancy-index copies per boundary
+        nxt = (cur[:, None] + mat).min(axis=0)
         nw = trellis.node_weights[i + 1]
         nxt = np.where(nxt < INF_W, nxt + nw, nxt)
         dist.append(nxt)
