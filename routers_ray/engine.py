@@ -87,3 +87,15 @@ class Engine:
         from .checkpoint import run_checkpointed
 
         return run_checkpointed(docs_ds, self.store_path, out_dir, self.options, **kwargs)
+
+    def tiles_dated(self, pts_ds, zooms, ranges, lon_col="lon", lat_col="lat", ts_col="ts_us"):
+        """Dated tile rollup filtered by :class:`~routers_ray.tiles.DatedRange`s."""
+        from .tiles import materialize_dated_tiles
+
+        return materialize_dated_tiles(pts_ds, list(zooms), ranges, lon_col, lat_col, ts_col)
+
+    def mvt(self, matched_ok_ds, zoom: int, layer_name: str = "matched"):
+        """Servable MVT blobs per touched tile (one binary row per tile)."""
+        from .mvt import mvt_tiles
+
+        return mvt_tiles(matched_ok_ds, zoom, layer_name)

@@ -133,6 +133,24 @@ def test_engine_facade(tmp_path, ray_session):
     tz = eng.timezone(pts).to_pandas()
     assert tz["tz_band"].iloc[0] >= 0
 
+    # round-2 facade surface: servable MVT blobs + dated tiles
+    from routers_ray.mvt import decode_tile
+    from routers_ray.tiles import DatedRange
+
+    mvt_out = eng.mvt(ok, zoom=12).to_pandas()
+    assert mvt_out["n_features"].sum() == n_ok
+    [layer] = decode_tile(bytes(mvt_out["tile"].iloc[0]))
+    assert layer["extent"] == 4096
+
+    ev = rd.from_arrow(
+        pa.table({"lon": pa.array([0.0, 1.0]), "lat": pa.array([0.0, 1.0]),
+                  "ts_us": pa.array([1704153600000000, 1706918400000000], pa.int64())})
+    )
+    dated = eng.tiles_dated(
+        ev, zooms=(7,), ranges=[DatedRange.parse("2024-01-01", "2024-02-28", "0-1-2-3-4-5-6")]
+    )
+    assert dated.num_rows == 2
+
 
 def test_internal_error_rows_do_not_kill_batch(monkeypatch):
     """Poison-pill tolerance: an unexpected exception in one doc surfaces as
