@@ -1018,6 +1018,50 @@ def sql_media_features() -> str:
     """
 
 
+def q_token_bpe(sf_dir: str):
+    """BPE-ish sub-word token counts per (lang, source): count + sum —
+    token budgeting over the corpus with the regex pre-tokenizer."""
+    import ray.data as rd
+
+    from ..text import bpe_token_count_batch
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text", "lang", "source"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        out = bpe_token_count_batch(b)
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": out["lang"].to_pylist(),
+                "source": out["source"].to_pylist(),
+                "n_docs": np.ones(len(out), dtype=np.int64),
+                "sum_bpe_tokens": np.asarray(out["n_bpe_tokens"], dtype=np.int64),
+            }
+        )
+        agg = df.groupby(["lang", "source"], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = ds.map_batches(_partial, batch_format="pyarrow").groupby(["lang", "source"]).sum(
+        ["n_docs", "sum_bpe_tokens"]
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["lang", "source", "n_docs", "sum_bpe_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_token_bpe() -> str:
+    from ..text import BPE_RE
+
+    pat = BPE_RE.replace("'", "''")
+    return f"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(coalesce(text, ''), '{pat}'))) AS sum_bpe_tokens
+    FROM documents GROUP BY lang, source
+    """
+
+
 Z_DATED = 7
 _DATED_RANGES = (
     # Mon-Fri of the first three January 2024 weeks, inclusive boundaries
@@ -1584,6 +1628,7 @@ def registry() -> dict[str, tuple]:
         "distinct_users": (q_distinct_users, sql_distinct_users()),
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
         "token_stats": (q_token_stats, sql_token_stats()),
+        "token_bpe": (q_token_bpe, sql_token_bpe()),
         "quality": (q_quality, sql_quality()),
         "lang_source_stats": (q_lang_source_stats, sql_lang_source_stats()),
         "fingerprint": (q_fingerprint, sql_fingerprint()),

@@ -297,14 +297,17 @@ class S2Strategy:
         return min(lons), min(lats), max(lons), max(lats)
 
     def neighbours(self, cell) -> np.ndarray:
-        """Same-face edge/corner neighbours via ij±size (cross-face
-        neighbours are clamped away — a documented simplification; the
-        engine's partition padding makes boundary effects benign)."""
+        """Edge/corner neighbours: exact same-face ij±size steps, UNIONED
+        with geometric center-steps past the face boundary (a point nudged
+        one cell-extent beyond the edge lands on the adjacent face via
+        ``locate`` — covering the cross-face adjacency the raw ij
+        arithmetic cannot express)."""
         c = int(np.atleast_1d(np.asarray(cell, dtype=np.uint64))[0])
         face, i, j, level = self._face_ij_level(c)
         size = 1 << (_MAX_LEVEL - level)
         lim = 1 << _MAX_LEVEL
         out = []
+        at_edge = False
         for di in (-size, 0, size):
             for dj in (-size, 0, size):
                 if di == 0 and dj == 0:
@@ -316,6 +319,23 @@ class S2Strategy:
                     )
                     lsb = np.uint64(1) << np.uint64(2 * (_MAX_LEVEL - level))
                     out.append(int((leaf[0] & ~(lsb - np.uint64(1)) & ~lsb) | lsb))
+                else:
+                    at_edge = True
+        if at_edge:
+            # cross-face: step the center by ~1.5 cell extents in 8
+            # directions and locate the landing cells
+            lon0, lat0 = self.center(c)
+            w, s, e, n = self.bounds(c)
+            dlon = max((e - w), 1e-9) * 1.5
+            dlat = max((n - s), 1e-9) * 1.5
+            steps_lon, steps_lat = [], []
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    steps_lon.append(((lon0 + dx * dlon + 180.0) % 360.0) - 180.0)
+                    steps_lat.append(min(max(lat0 + dy * dlat, -89.999), 89.999))
+            out.extend(int(x) for x in self.locate(np.asarray(steps_lon), np.asarray(steps_lat)))
         return np.unique(np.asarray([o for o in out if o != c], dtype=np.uint64))
 
     def contains(self, cell, lons, lats) -> np.ndarray:

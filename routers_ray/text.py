@@ -519,3 +519,17 @@ def dedup_minhash(
         )
 
     return with_b.map_batches(_verify, batch_format="pyarrow")
+
+
+# BPE-ish pre-tokenizer regex (the GPT-2 pattern family, minus the \s+(?!\S)
+# lookahead RE2 cannot express — both Arrow and DuckDB run RE2, so the count
+# is engine-portable by construction)
+BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Sub-word-style token counting: non-overlapping BPE_RE matches per
+    doc — the 'BPE-ish regex' counting a training-data pipeline budgets
+    with, next to the whitespace count."""
+    n = pc.count_substring_regex(pc.fill_null(batch[text_col], ""), BPE_RE)
+    return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))

@@ -91,3 +91,16 @@ def test_s2_valid_id_shape():
     assert np.all(lsb == np.uint64(1) << np.uint64(2 * (30 - 12)))
     # face bits < 6
     assert np.all((cells >> np.uint64(61)) < np.uint64(6))
+
+
+def test_s2_cross_face_neighbours():
+    """A cell at a face boundary reports neighbours on the adjacent face."""
+    s2 = S2Strategy(level=8)
+    # lon=44.9°, lat=0 sits near the face-0/face-1 boundary (u = tan(45°))
+    c = s2.locate(np.asarray([44.9]), np.asarray([0.0]))[0]
+    nb = s2.neighbours(c)
+    faces = set(int(x >> np.uint64(61)) for x in nb)
+    assert len(faces) >= 2, f"expected cross-face neighbours, got faces {faces}"
+    # and a point just across the boundary lands in one of them
+    across = s2.locate(np.asarray([45.5]), np.asarray([0.0]))[0]
+    assert int(across >> np.uint64(61)) != int(c >> np.uint64(61))
