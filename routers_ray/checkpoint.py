@@ -293,12 +293,15 @@ def incremental_match(
         if ll.size == 0:
             continue
         buffer_m = opts.threshold_cm / 100.0 + opts.search_distance_m
-        net = store.network_for_doc(
-            ll, la, buffer_m=buffer_m, search_radius_m=opts.search_distance_m
-        )
         try:
+            # network build inside the guard: absurd per-doc coordinates
+            # become this doc's error row, not a partition failure
+            net = store.network_for_doc(
+                ll, la, buffer_m=buffer_m, search_radius_m=opts.search_distance_m
+            )
             res = match_trajectory(net, ll, la, opts)
-        except MatchError as e:
+        except Exception as exc:
+            e = exc if isinstance(exc, MatchError) else MatchError("internal", [])
             o_doc.append(doc), o_seq.append(-1), o_status.append(e.kind)
             o_eid.append(None), o_dir.append(None), o_src.append(None), o_dst.append(None)
             o_slon.append(None), o_slat.append(None), o_cost.append(None), o_cell.append(None)

@@ -227,11 +227,14 @@ def match_batch(
             o_slon.append(None), o_slat.append(None), o_cost.append(None), o_cell.append(None)
             hop_len.append(-1), o_err.append([]), o_span_row.append(i)
             continue
-        net = store.network_for_doc(
-            ll, la, buffer_m=buffer_m, search_radius_m=opts.search_distance_m,
-            mode=opts.transport_mode, use_speed=opts.use_speed,
-        )
         try:
+            # inside the poison-pill guard: a doc with absurd coordinates
+            # must fail as ITS error row (e.g. a bbox covering millions of
+            # cells raises), not kill the batch
+            net = store.network_for_doc(
+                ll, la, buffer_m=buffer_m, search_radius_m=opts.search_distance_m,
+                mode=opts.transport_mode, use_speed=opts.use_speed,
+            )
             res = match_trajectory(net, ll, la, opts)
         except MatchError as e:
             o_doc.append(doc_ids[i]), o_seq.append(-1), o_status.append(e.kind)

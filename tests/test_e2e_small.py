@@ -170,3 +170,52 @@ def test_hash_route_equals_unrouted(world, ray_session):
     finally:
         ctx.shuffle_strategy = old_strategy
         ctx.max_hash_shuffle_aggregators = old_aggs
+
+
+def test_adversarial_docs_survive_pipeline(world, ray_session):
+    """Hostile inputs ride the REAL pipeline without killing any batch:
+    out-of-range coordinates, a single-point doc, a doc of duplicate
+    timestamps, an empty span list, and a 1500-point monster (bounded by
+    Trip::tail windowing)."""
+    import ray.data as rd
+
+    from routers_ray.spans import DOCS_SCHEMA
+
+    def pt(lon, lat, ts):
+        return {"kind": "text", "text": f"{lon} {lat} {ts}", "media_ref": "", "offset": 0}
+
+    # inside city 0 of the 2-city 8x8 world (origin -118.5, 34.0, pitch 0.001)
+    lat0 = 34.0031
+    lon0 = -118.4985
+    monster = [pt(round(lon0 + 0.000004 * i, 6), lat0, i + 1) for i in range(1500)]
+    rows = [
+        {"doc_id": "bad-coords", "spans": [pt(500.0, 95.0, 1), pt(-500.0, -95.0, 2)]},
+        {"doc_id": "single", "spans": [pt(lon0, lat0, 1)]},
+        {"doc_id": "dup-ts", "spans": [pt(lon0, lat0, 5), pt(lon0 + 0.0001, lat0, 5)]},
+        {"doc_id": "no-spans", "spans": []},
+        {"doc_id": "monster", "spans": monster},
+    ]
+    docs = pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+    matched = match_documents(
+        rd.from_arrow(docs), world["store"],
+        MatchOptions(max_layers=64, drop_unanchored=True),
+        concurrency=2, batch_size=4, keep_spans=True,
+    )
+    # collect as Arrow: ragged error_layers lists break Ray's automatic
+    # pandas TensorArray casting (a conversion quirk, not a pipeline issue)
+    tabs = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in matched.iter_batches(batch_format="pyarrow")
+    ]
+    out = pa.concat_tables(tabs).to_pandas(ignore_metadata=True)
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    assert set(by_doc) == {"bad-coords", "single", "dup-ts", "no-spans", "monster"}
+    # every doc yields either ok rows or exactly one error row
+    assert (by_doc["bad-coords"]["status"] != "ok").all()
+    assert by_doc["no-spans"]["status"].tolist() == ["unanchored"]
+    ok_monster = by_doc["monster"][by_doc["monster"]["status"] == "ok"]
+    assert 0 < len(ok_monster) <= 64  # windowed, not 1500 rows
+    # seqs stay global under windowing
+    assert ok_monster["seq"].max() == 1499
+    # spans rejoined per row (north-rule invariant under the rejoin path)
+    assert by_doc["single"]["spans"].iloc[0] is not None
