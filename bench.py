@@ -111,7 +111,8 @@ def run_bench() -> dict:
         route="none",
         salt=False,
     )
-    matched_ok(matched).write_parquet(out_dir)
+    ok_stream = matched_ok(matched)
+    ok_stream.write_parquet(out_dir)
     # prune at the read: the tile stage needs 4 of the 13 written columns
     # (hop_path dominates row bytes and stays on disk)
     ok = rd.read_parquet(out_dir, columns=["doc_id", "seq", "snap_lon", "snap_lat"])
@@ -122,6 +123,15 @@ def run_bench() -> dict:
 
     # matched docs/sec (docs fully matched, the BASELINE.json metric)
     n_ok_docs = ok.groupby("doc_id").count().count()
+
+    # per-stage execution stats of the headline run (scheduling evidence:
+    # wall time should sit in the MatchDocs actor stage, not the plumbing)
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open(os.path.join("BENCH", f"STATS_headline_{NUM_CPUS}cpu.txt"), "w") as f:
+            f.write(ok_stream.stats())
+    except Exception:
+        pass
 
     # hash-routed exchange datapoint (the multi-node path: co-locate each
     # (cell, salt) before the actor pool). Worst-case config for it — a

@@ -493,6 +493,9 @@ def _weigh_kernel(ctx: "_TrajectoryContext", c_row, c_frac, c_lon, c_lat, loff, 
     zero = np.zeros(n_pairs, dtype=bool)
 
     def _step(x):
+        # gather/scatter on the valid subset: A/B'd against full-width
+        # masked ops (2.01 s vs 1.17 s per 300 docs — the masked variant
+        # loses; deltas are sparse because block headings are often NaN)
         m = ~np.isnan(x)
         j = m & ~np.isnan(prev)
         if j.any():
