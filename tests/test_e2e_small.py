@@ -219,3 +219,25 @@ def test_adversarial_docs_survive_pipeline(world, ray_session):
     assert ok_monster["seq"].max() == 1499
     # spans rejoined per row (north-rule invariant under the rejoin path)
     assert by_doc["single"]["spans"].iloc[0] is not None
+
+
+def test_sort_route_equals_unrouted(world, ray_session):
+    """route='sort' (global route_key sort, the ordered-output path)
+    produces the same matched rows as the unrouted path."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(world["paths"]["parquet"])
+    sorted_r = match_documents(
+        ds, world["store"], concurrency=2, batch_size=16, keep_spans=False,
+        route="sort", salt=False,
+    )
+    ds2 = rd.read_parquet(world["paths"]["parquet"])
+    plain = match_documents(
+        ds2, world["store"], concurrency=2, batch_size=16, keep_spans=False,
+        route="none", salt=False,
+    )
+    cols = ["doc_id", "seq", "status", "edge_id", "src", "dst", "cost"]
+    a = sorted_r.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    b = plain.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
