@@ -139,3 +139,86 @@ class TestDegenerateInputs:
         lats = np.asarray(nodes["lat"])[:30]
         res = match_trajectory(net, lons, lats, MatchOptions(max_layers=5, drop_unanchored=True))
         assert len(res.layers) <= 5
+
+
+# ---------------------------------------------------------------------------
+# round-2 property tests: access resolution, dated ranges, S2 hierarchy
+
+
+_MODES = ["foot", "bicycle", "motorcar", "bus", "hgv"]
+_TAG_MODES = ["all", "vehicle", "motor_vehicle", "bicycle", "foot", "psv", "bus", "goods", "hgv"]
+
+
+@given(
+    tags=st.lists(
+        st.tuples(
+            st.sampled_from(_TAG_MODES),
+            st.sampled_from([0, 1, 2]),
+            st.sampled_from(["yes", "no", "private"]),
+        ),
+        max_size=5,
+    ),
+    mode=st.sampled_from(_MODES),
+    direction=st.sampled_from([0, 1]),
+    allow_private=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_access_resolution_matches_brute(tags, mode, direction, allow_private):
+    """resolve_access == a direct transcription of the reference rule:
+    filter applicable (chain ∋ tag mode, direction matches), take the
+    first most-specific, map the value; default allow."""
+    from routers_ray.metadata import SPECIFICITY, TRANSPORT_CHAIN, resolve_access
+
+    chain = set(TRANSPORT_CHAIN[mode])
+    applicable = [
+        (SPECIFICITY[m], v)
+        for m, d, v in tags
+        if m in chain and (d == 2 or (d == 0 and direction == 0) or (d == 1 and direction == 1))
+    ]
+    if not applicable:
+        expected = True
+    else:
+        best = -1
+        val = None
+        for s, v in applicable:
+            if s > best:
+                best, val = s, v
+        expected = val == "yes" or (val == "private" and allow_private)
+    assert resolve_access(tags, mode, direction, allow_private) is expected
+
+
+@given(
+    start=st.integers(min_value=19000, max_value=20000),
+    span=st.integers(min_value=0, max_value=60),
+    wd=st.sets(st.integers(min_value=0, max_value=6), min_size=1),
+    off_us=st.integers(min_value=0, max_value=90 * 86_400_000_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_dated_range_matches_datetime_brute(start, span, wd, off_us):
+    """DatedRange.within_us == python-datetime brute evaluation."""
+    import datetime as dt
+
+    from routers_ray.tiles import DatedRange
+
+    r = DatedRange(start, start + span, frozenset(wd))
+    ts = start * 86_400_000_000 - 5 * 86_400_000_000 + off_us
+    got = bool(r.within_us(np.asarray([ts]))[0])
+    t = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(microseconds=ts)
+    lo = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(days=start)
+    hi = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(days=start + span)
+    expected = (lo <= t <= hi) and (t.weekday() in wd)
+    assert got == expected
+
+
+@given(
+    lon=st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+    lat=st.floats(min_value=-85.0, max_value=85.0, allow_nan=False),
+    level=st.integers(min_value=2, max_value=20),
+)
+@settings(max_examples=150, deadline=None)
+def test_s2_parent_contains_child_property(lon, lat, level):
+    from routers_ray.strategy import S2Strategy
+
+    child = S2Strategy(level).locate(np.asarray([lon]), np.asarray([lat]))
+    parent = S2Strategy(level - 1).locate(np.asarray([lon]), np.asarray([lat]))
+    assert np.array_equal(S2Strategy(level).parent(child), parent)
