@@ -213,3 +213,28 @@ def test_manifest_append_atomic(world, tmp_path):
     append_manifest(out, [{"partition_id": "p1"}])
     append_manifest(out, [{"partition_id": "p2"}])
     assert [r["partition_id"] for r in read_manifest(out)] == ["p1", "p2"]
+
+
+def test_incremental_poison_doc_becomes_internal_row(world, tmp_path):
+    """A doc with absurd coordinates in the incremental path yields ITS
+    'internal' error row (network build inside the per-doc guard), and the
+    other docs in the same batch still match."""
+    from routers_ray.spans import DOCS_SCHEMA
+
+    good = world["docs"].slice(0, 3)
+    bad = pa.Table.from_pylist(
+        [{
+            "doc_id": "poison",
+            "spans": [
+                {"kind": "text", "text": "500.0 95.0 1", "media_ref": "", "offset": 0},
+                {"kind": "text", "text": "-500.0 -95.0 2", "media_ref": "", "offset": 1},
+            ],
+        }],
+        schema=DOCS_SCHEMA,
+    )
+    docs = pa.concat_tables([good.select(["doc_id", "spans"]), bad])
+    out = incremental_match(docs, world["store"], str(tmp_path / "state"), revision_epoch=1)
+    df = out.to_pandas()
+    poison = df[df["doc_id"] == "poison"]
+    assert poison["status"].tolist() == ["internal"]
+    assert (df[df["doc_id"] != "poison"]["status"] == "ok").any()
