@@ -405,10 +405,11 @@ def simhash_pairs(ds, text_col: str = "text", max_hamming: int = 3, bands: int =
         )
 
     pairs = band_rows.groupby(["band", "band_key"]).map_groups(_pairs, batch_format="pandas")
-    # distributed dedup: a pair found by several bands collapses in a
-    # (doc_a, doc_b) groupby — pair rows only ever ride the shuffle
-    deduped = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # distributed dedup as an aggregate: a pair found by several bands has
+    # ONE hamming value, so min() both dedups and preserves it — pair rows
+    # only ever ride the shuffle, and no per-group Python body runs
+    deduped = pairs.groupby(["doc_a", "doc_b"]).min("hamming").map_batches(
+        lambda b: b.rename_columns(["doc_a", "doc_b", "hamming"]), batch_format="pyarrow"
     )
     return deduped
 
@@ -482,8 +483,10 @@ def dedup_minhash(
         return pd.DataFrame({"doc_a": arr[ii], "doc_b": arr[jj]})
 
     cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(_pairs, batch_format="pandas")
-    deduped = cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # distributed pair dedup as an AGGREGATE (count + drop) — far cheaper
+    # than spawning a map_groups body per tiny (doc_a, doc_b) group
+    deduped = cand.groupby(["doc_a", "doc_b"]).count().map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
 
     docs_proj = ds.map_batches(
