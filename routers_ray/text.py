@@ -432,15 +432,11 @@ def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
             }
         )
 
-    import pandas as pd
-
     hashed = ds.map_batches(_hash, batch_format="pyarrow")
-
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.sort_values(id_col).head(1)
-        return keep[["content_md5", id_col]]
-
-    return hashed.groupby("content_md5").map_groups(_first, batch_format="pandas")
+    # keep-min-id per hash IS an aggregate — no per-group Python body
+    return hashed.groupby("content_md5").min(id_col).map_batches(
+        lambda b: b.rename_columns(["content_md5", id_col]), batch_format="pyarrow"
+    )
 
 
 def dedup_minhash(
