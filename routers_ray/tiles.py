@@ -383,3 +383,59 @@ def materialize_dated_tiles(
     dd = np.asarray(out["date"], dtype=np.int64)
     final = np.lexsort((dd, hh, zz))
     return out.take(pa.array(final))
+
+
+def fragment_children(z: int, x: int, y: int, storage_zoom: int) -> tuple[np.ndarray, np.ndarray]:
+    """The (x, y) tiles covering fragment (z, x, y) at ``storage_zoom`` —
+    ``Fragment::detail`` (``fragment.rs:35-47``): the 4^(dz) descendants
+    (or the single ancestor when storage_zoom < z)."""
+    if storage_zoom >= z:
+        dz = storage_zoom - z
+        n = 1 << dz
+        xs = (x << dz) + np.arange(n, dtype=np.int64)
+        ys = (y << dz) + np.arange(n, dtype=np.int64)
+        gx, gy = np.meshgrid(xs, ys, indexing="ij")
+        return gx.ravel(), gy.ravel()
+    dz = z - storage_zoom
+    return np.asarray([x >> dz], dtype=np.int64), np.asarray([y >> dz], dtype=np.int64)
+
+
+def scan_dated_tiles(
+    tile_tbl: pa.Table, z: int, x: int, y: int, ranges: list[DatedRange], storage_zoom: int
+) -> pa.Table:
+    """Row-range scan of a dated tile table for one requested fragment —
+    the ``TileQuery::batch`` shape (``example/tile.rs:111-146``): the
+    fragment's ``detail(storage_zoom)`` children × each DatedRange become
+    (hilbert, date) key ranges; here they resolve as a partition-key
+    filter over the (z, x, y, date) columns (the engine's stand-in for the
+    Bigtable row-range reader)."""
+    cx, cy = fragment_children(z, x, y, storage_zoom)
+    want = set(zip(cx.tolist(), cy.tolist()))
+    tx = np.asarray(tile_tbl["x"], dtype=np.int64)
+    ty = np.asarray(tile_tbl["y"], dtype=np.int64)
+    tz = np.asarray(tile_tbl["z"], dtype=np.int64)
+    date = np.asarray(tile_tbl["date"], dtype=np.int64)
+    # date (yymmdd) back to days-since-epoch for the range check
+    import datetime as dt
+
+    uniq, inv = np.unique(date, return_inverse=True)
+    days_u = np.asarray(
+        [
+            (dt.date(2000 + d // 10000, (d // 100) % 100, d % 100) - dt.date(1970, 1, 1)).days
+            for d in uniq.tolist()
+        ],
+        dtype=np.int64,
+    )
+    days = days_u[inv]
+    in_range = np.zeros(len(tile_tbl), dtype=bool)
+    for r in ranges:
+        # date-key granularity: the day is in range if its midnight is
+        # (weekday from the day number, Mon=0)
+        m = (days >= r.start_day) & (days <= r.end_day)
+        wd = (days + 3) % 7
+        in_range |= m & np.isin(wd, np.asarray(sorted(r.weekdays), dtype=np.int64))
+    keep = (tz == storage_zoom) & in_range
+    if want:
+        pair_ok = np.asarray([(a, b) in want for a, b in zip(tx.tolist(), ty.tolist())])
+        keep &= pair_ok
+    return tile_tbl.filter(pa.array(keep))

@@ -98,3 +98,37 @@ def test_dated_range_within():
     w = DatedRange.parse("2024-02-01", "2024-02-25", "5-6")
     assert w.within_us(np.array([us("2024-02-03T12:00")]))[0]  # Saturday
     assert not w.within_us(np.array([us("2024-02-05T12:00")]))[0]  # Monday
+
+
+def test_fragment_scan_dated_tiles(ray_session):
+    """TileQuery::batch shape: one requested fragment expands to its
+    storage-zoom children x dated ranges, filtering the dated tile table."""
+    import ray.data as rd
+
+    from routers_ray.tiles import fragment_children, materialize_dated_tiles, scan_dated_tiles
+
+    cx, cy = fragment_children(5, 10, 10, 7)
+    assert cx.size == 16 and set(cx.tolist()) == {40, 41, 42, 43}
+
+    # build a dated tile table from two points on different days/tiles
+    pts = pa.table(
+        {
+            "lon": pa.array([10.0, 10.0, 150.0]),
+            "lat": pa.array([20.0, 20.0, -30.0]),
+            # Tue 2024-01-02, Sat 2024-01-06, Tue 2024-01-02
+            "ts_us": pa.array([1704187200000000, 1704542400000000, 1704187200000000], pa.int64()),
+        }
+    )
+    r_all = DatedRange.parse("2024-01-01", "2024-01-31", "0-1-2-3-4-5-6")
+    tiles = materialize_dated_tiles(rd.from_arrow(pts), [7], [r_all])
+    assert tiles.num_rows == 3  # (tile, date) combos
+
+    # scan the fragment containing lon=10/lat=20 at z5, weekdays only
+    from routers_ray.tiles import lonlat_to_tile
+
+    x7, y7 = (int(v) for v in lonlat_to_tile(10.0, 20.0, 7))
+    frag = (5, x7 >> 2, y7 >> 2)
+    wk = DatedRange.parse("2024-01-01", "2024-01-31", "0-1-2-3-4")
+    hit = scan_dated_tiles(tiles, *frag, [wk], storage_zoom=7)
+    assert hit.num_rows == 1  # only the Tuesday row at that tile
+    assert hit["date"].to_pylist() == [240102]
