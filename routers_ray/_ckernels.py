@@ -1,0 +1,223 @@
+"""Optional C kernel for the bounded Dijkstra hot loop.
+
+The container ships gcc + ctypes (stdlib), so the one genuinely
+loop-bound kernel — ``csr.bounded_dijkstra``'s heap walk — compiles once
+per machine to a tiny shared object (cached under /tmp by source hash)
+and loads via the C ABI. Everything else stays NumPy. If compilation
+fails for any reason the caller falls back to the pure-Python loop, so
+the engine never *requires* a toolchain.
+
+Semantics are bit-identical to the Python implementation (same
+WeightAndDistance repr, same (repr, insertion-counter) settle order, same
+take-while threshold cut, same strict-improvement parent capture) —
+pinned by an exact A/B test over random graphs in
+``tests/test_dijkstra.py``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_SRC = r"""
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* binary min-heap over (key = repr<<32 | counter, node) */
+typedef struct { uint64_t *keys; int32_t *nodes; int64_t n; } heap_t;
+
+static inline void heap_push(heap_t *h, uint64_t key, int32_t node) {
+    int64_t i = h->n++;
+    while (i > 0) {
+        int64_t p = (i - 1) >> 1;
+        if (h->keys[p] <= key) break;
+        h->keys[i] = h->keys[p]; h->nodes[i] = h->nodes[p];
+        i = p;
+    }
+    h->keys[i] = key; h->nodes[i] = node;
+}
+
+static inline int32_t heap_pop(heap_t *h, uint64_t *key_out) {
+    int32_t top = h->nodes[0];
+    *key_out = h->keys[0];
+    uint64_t key = h->keys[--h->n];
+    int32_t node = h->nodes[h->n];
+    int64_t i = 0;
+    for (;;) {
+        int64_t l = 2 * i + 1, r = l + 1, m = i;
+        uint64_t mk = key;
+        if (l < h->n && h->keys[l] < mk) { m = l; mk = h->keys[l]; }
+        if (r < h->n && h->keys[r] < mk) { m = r; }
+        if (m == i) break;
+        h->keys[i] = h->keys[m]; h->nodes[i] = h->nodes[m];
+        i = m;
+    }
+    h->keys[i] = key; h->nodes[i] = node;
+    return top;
+}
+
+/* returns number of settled nodes; outputs parallel arrays
+   settled[k] = node, set_par[k] = parent (-1 for root), set_dist[k] = cm */
+int64_t bounded_dijkstra_c(
+    const int64_t *indptr, const int32_t *nbr,
+    const uint32_t *ew, const uint32_t *ed, const uint8_t *acc,
+    int64_t n_nodes, int64_t n_edges, int64_t root, double threshold_cm,
+    /* scratch, length n_nodes, caller-owned; stamp/epoch avoid memsets */
+    int32_t *stamp, int32_t epoch,
+    uint64_t *best_rep, int64_t *best_num, int32_t *best_den, int64_t *best_dist,
+    int32_t *parent, uint8_t *seen_arr,
+    /* heap scratch, length n_edges + 1 */
+    uint64_t *hkeys, int32_t *hnodes,
+    /* outputs, length n_nodes */
+    int32_t *settled, int32_t *set_par, int64_t *set_dist)
+{
+    heap_t h = { hkeys, hnodes, 0 };
+    uint32_t counter = 0;
+    const uint64_t U32 = 0xFFFFFFFFULL;
+
+    stamp[root] = epoch;
+    best_rep[root] = 0; best_num[root] = 0; best_den[root] = 0; best_dist[root] = 0;
+    parent[root] = -1; seen_arr[root] = 0;
+    heap_push(&h, 0, (int32_t)root);
+
+    int64_t n_settled = 0;
+    while (h.n > 0) {
+        uint64_t key;
+        int32_t node = heap_pop(&h, &key);
+        if (stamp[node] == epoch && seen_arr[node]) continue;
+        stamp[node] = epoch;
+        seen_arr[node] = 1;
+        int64_t num = best_num[node];
+        int32_t den = best_den[node];
+        int64_t dist = best_dist[node];
+        if ((double)dist >= threshold_cm) break;  /* take_while cut */
+        settled[n_settled] = node;
+        set_par[n_settled] = parent[node];
+        set_dist[n_settled] = dist;
+        n_settled++;
+        for (int64_t e = indptr[node]; e < indptr[node + 1]; e++) {
+            if (!acc[e]) continue;
+            int32_t nxt = nbr[e];
+            if (stamp[nxt] == epoch && seen_arr[nxt]) continue;
+            int64_t n_num = num + (int64_t)ew[e];
+            int32_t n_den = den + 1;
+            int64_t n_dist = dist + (int64_t)ed[e];
+            int64_t avg = n_num / n_den;
+            double v = (double)(avg * avg) * (double)n_dist;
+            uint64_t n_rep = (v >= (double)U32) ? U32 : (uint64_t)v;
+            int fresh = (stamp[nxt] != epoch);
+            if (fresh || best_rep[nxt] > n_rep) {
+                if (fresh) { seen_arr[nxt] = 0; stamp[nxt] = epoch; }
+                best_rep[nxt] = n_rep;
+                best_num[nxt] = n_num;
+                best_den[nxt] = n_den;
+                best_dist[nxt] = n_dist;
+                parent[nxt] = node;
+                counter++;
+                heap_push(&h, (n_rep << 32) | (uint64_t)counter, nxt);
+            }
+        }
+    }
+    return n_settled;
+}
+"""
+
+
+def _build() -> ctypes.CDLL | None:
+    try:
+        tag = hashlib.md5(_SRC.encode()).hexdigest()[:16]
+        so = os.path.join(tempfile.gettempdir(), f"routers_ray_ck_{tag}.so")
+        if not os.path.exists(so):
+            src = so + ".c"
+            with open(src, "w") as f:
+                f.write(_SRC)
+            tmp_so = so + f".tmp{os.getpid()}"
+            subprocess.run(
+                ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp_so, src],
+                check=True, capture_output=True, timeout=120,
+            )
+            os.replace(tmp_so, so)  # atomic: concurrent actors race safely
+        lib = ctypes.CDLL(so)
+        fn = lib.bounded_dijkstra_c
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        return lib
+    except Exception:
+        return None
+
+
+_LIB = _build()
+
+
+def have_ckernel() -> bool:
+    return _LIB is not None
+
+
+class DijkstraScratch:
+    """Per-CSR scratch buffers (epoch-stamped — no per-call memset)."""
+
+    def __init__(self, n_nodes: int, n_edges: int):
+        import numpy as np
+
+        self.epoch = 0
+        self.stamp = np.zeros(max(n_nodes, 1), dtype=np.int32)
+        self.best_rep = np.empty(max(n_nodes, 1), dtype=np.uint64)
+        self.best_num = np.empty(max(n_nodes, 1), dtype=np.int64)
+        self.best_den = np.empty(max(n_nodes, 1), dtype=np.int32)
+        self.best_dist = np.empty(max(n_nodes, 1), dtype=np.int64)
+        self.parent = np.empty(max(n_nodes, 1), dtype=np.int32)
+        self.seen = np.zeros(max(n_nodes, 1), dtype=np.uint8)
+        self.hkeys = np.empty(max(n_edges, 1) + 1, dtype=np.uint64)
+        self.hnodes = np.empty(max(n_edges, 1) + 1, dtype=np.int32)
+        self.settled = np.empty(max(n_nodes, 1), dtype=np.int32)
+        self.set_par = np.empty(max(n_nodes, 1), dtype=np.int32)
+        self.set_dist = np.empty(max(n_nodes, 1), dtype=np.int64)
+
+
+def bounded_dijkstra_c(csr, root: int, threshold_cm: float):
+    """C-kernel bounded Dijkstra; returns (parents, dists) dicts identical
+    to :func:`routers_ray.csr.bounded_dijkstra`."""
+    import numpy as np
+
+    scratch = csr._c_scratch
+    if scratch is None:
+        scratch = DijkstraScratch(csr.n_nodes(), int(csr.nbr.size))
+        csr._c_scratch = scratch
+    scratch.epoch += 1
+    if scratch.epoch >= 2**31 - 1:
+        scratch.stamp[:] = 0
+        scratch.epoch = 1
+    acc8 = csr._acc_u8
+    if acc8 is None:
+        acc8 = csr.edge_accessible.astype(np.uint8)
+        csr._acc_u8 = acc8
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    n = _LIB.bounded_dijkstra_c(
+        p(csr.indptr), p(csr.nbr), p(csr.edge_weight), p(csr.edge_dist_cm),
+        p(acc8), csr.n_nodes(), int(csr.nbr.size), int(root),
+        float(threshold_cm), p(scratch.stamp), scratch.epoch,
+        p(scratch.best_rep), p(scratch.best_num), p(scratch.best_den),
+        p(scratch.best_dist), p(scratch.parent), p(scratch.seen),
+        p(scratch.hkeys), p(scratch.hnodes),
+        p(scratch.settled), p(scratch.set_par), p(scratch.set_dist),
+    )
+    nodes = scratch.settled[:n].tolist()
+    pars = scratch.set_par[:n].tolist()
+    ds = scratch.set_dist[:n].tolist()
+    dists = dict(zip(nodes, ds))
+    parents = {k: v for k, v in zip(nodes, pars) if v >= 0}
+    return parents, dists

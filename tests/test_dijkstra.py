@@ -142,3 +142,32 @@ def test_network_store_lru_bounds(tmp_path):
     # evicted cells reload fine
     net = store.network_for_cells((cells[0],))
     assert net.csr.n_nodes() > 0
+
+
+def test_c_kernel_exactly_matches_python():
+    """The compiled bounded-Dijkstra equals the Python reference loop
+    bit-for-bit (parents + dists) over random graphs, thresholds, and
+    accessibility masks."""
+    from routers_ray._ckernels import bounded_dijkstra_c, have_ckernel
+    from routers_ray.csr import bounded_dijkstra_py, build_csr
+
+    if not have_ckernel():
+        pytest.skip("no C toolchain")
+    rng = np.random.default_rng(17)
+    for trial in range(25):
+        n = int(rng.integers(5, 120))
+        m = int(rng.integers(n, n * 6))
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        w = rng.integers(1, 100, m).astype(np.uint32)
+        acc = rng.random(m) > 0.15
+        lon = rng.uniform(-118.6, -118.4, n)
+        lat = rng.uniform(33.9, 34.1, n)
+        csr = build_csr(np.arange(n), lon, lat, src, dst, w,
+                        np.zeros(m, np.uint8), np.arange(m), acc)
+        thr = float(rng.choice([50_000.0, 200_000.0, 1e9]))
+        for root in rng.integers(0, n, 4):
+            pp, dp = bounded_dijkstra_py(csr, int(root), thr)
+            pc_, dc = bounded_dijkstra_c(csr, int(root), thr)
+            assert dp == dc, f"dists diverge trial={trial} root={root}"
+            assert pp == pc_, f"parents diverge trial={trial} root={root}"
