@@ -317,7 +317,8 @@ def test_conformance_sweep_runner():
     )
     conf = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(conf)
-    metrics = conf.run_sweep(iters=3, warmup=1)
+    nets = {"grid12": conf.NETWORKS["grid12"]}
+    metrics = conf.run_sweep(iters=3, warmup=1, networks=nets)
     assert len(metrics) == len(conf.CONFIGS) * 4
     for key, m in metrics.items():
         assert m["n"] == 3

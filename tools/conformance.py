@@ -54,34 +54,44 @@ CONFIGS = {
 }
 
 
-def run_sweep(iters: int = 50, warmup: int = 5, configs=None) -> dict:
-    nodes, edges = synth_network(seed=9, n_cities=1, grid=(12, 12))
-    net = CellNetwork.from_edge_rows(fatten_edges(nodes, edges))
-    traces = fixture_traces(net)
+NETWORKS = {
+    # small grid: the pure-Python Dijkstra path (predicate-cache-warm regime)
+    "grid12": dict(seed=9, n_cities=1, grid=(12, 12)),
+    # dense city: >=1024 nodes, exercises the compiled Dijkstra kernel
+    "dense36": dict(seed=9, n_cities=1, grid=(36, 36)),
+}
+
+
+def run_sweep(iters: int = 50, warmup: int = 5, configs=None, networks=None) -> dict:
     configs = configs or CONFIGS
+    networks = networks or NETWORKS
 
     merged: dict = {}
-    for cfg_name, opts in configs.items():
-        for trace_name, xs, ys in traces:
-            for _ in range(warmup):
-                match_trajectory(net, xs, ys, opts)
-            samples = []
-            for _ in range(iters):
-                t0 = time.perf_counter()
-                match_trajectory(net, xs, ys, opts)
-                samples.append((time.perf_counter() - t0) * 1000.0)
-            stats = summarize(samples, wall_s=sum(samples) / 1000.0, points=xs.size * iters)
-            # later configs win on collisions (main.rs:33-54 merge rule)
-            merged[f"{cfg_name}/{trace_name}"] = stats
+    for net_name, net_kw in networks.items():
+        nodes, edges = synth_network(**net_kw)
+        net = CellNetwork.from_edge_rows(fatten_edges(nodes, edges))
+        traces = fixture_traces(net)
+        for cfg_name, opts in configs.items():
+            for trace_name, xs, ys in traces:
+                for _ in range(warmup):
+                    match_trajectory(net, xs, ys, opts)
+                samples = []
+                for _ in range(iters):
+                    t0 = time.perf_counter()
+                    match_trajectory(net, xs, ys, opts)
+                    samples.append((time.perf_counter() - t0) * 1000.0)
+                stats = summarize(samples, wall_s=sum(samples) / 1000.0, points=xs.size * iters)
+                # later configs win on collisions (main.rs:33-54 merge rule)
+                merged[f"{net_name}/{cfg_name}/{trace_name}"] = stats
     return merged
 
 
 def print_table(metrics: dict) -> None:
     cols = ["n", "min", "p15", "p25", "p50", "p75", "p85", "max", "mean", "throughput_pts_per_s"]
-    print(f"{'config/trace':28} " + " ".join(f"{c:>9}" for c in cols))
+    print(f"{'net/config/trace':34} " + " ".join(f"{c:>9}" for c in cols))
     for key, m in metrics.items():
         vals = [m.get(c, float('nan')) for c in cols]
-        print(f"{key:28} " + " ".join(f"{v:9.2f}" if isinstance(v, float) else f"{v:9d}" for v in vals))
+        print(f"{key:34} " + " ".join(f"{v:9.2f}" if isinstance(v, float) else f"{v:9d}" for v in vals))
 
 
 if __name__ == "__main__":
