@@ -107,7 +107,10 @@ int64_t bounded_dijkstra_c(
             int32_t n_den = den + 1;
             int64_t n_dist = dist + (int64_t)ed[e];
             int64_t avg = n_num / n_den;
-            double v = (double)(avg * avg) * (double)n_dist;
+            /* square in double: avg*avg in int64 overflows (UB) for avg
+               > ~3.04e9; in the non-saturated range avg*avg < 2^32 so the
+               double product is still exact, matching the Python path */
+            double v = (double)avg * (double)avg * (double)n_dist;
             uint64_t n_rep = (v >= (double)U32) ? U32 : (uint64_t)v;
             int fresh = (stamp[nxt] != epoch);
             if (fresh || best_rep[nxt] > n_rep) {

@@ -1012,7 +1012,7 @@ def sql_media_features() -> str:
     )
     SELECT doc_id,
            COUNT(*) AS n_media,
-           SUM(256) AS sum_payload_bytes,
+           CAST(SUM(256) AS BIGINT) AS sum_payload_bytes,
            CAST(SUM(floor(w * (224.0 / least(w, h)) + 0.5)) AS BIGINT) AS sum_resize_w
     FROM m GROUP BY doc_id
     """
@@ -1057,7 +1057,7 @@ def sql_token_bpe() -> str:
     pat = BPE_RE.replace("'", "''")
     return f"""
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(coalesce(text, ''), '{pat}'))) AS sum_bpe_tokens
+           CAST(SUM(len(regexp_extract_all(coalesce(text, ''), '{pat}'))) AS BIGINT) AS sum_bpe_tokens
     FROM documents GROUP BY lang, source
     """
 
@@ -1262,11 +1262,11 @@ def sql_transport_access() -> str:
       FROM decided
     )
     SELECT mode,
-           SUM(CASE WHEN acc THEN 1 ELSE 0 END) AS n_accessible,
-           SUM(CASE WHEN acc THEN cw ELSE 0 END) AS sum_class_weight,
-           SUM(CASE WHEN kmh IS NOT NULL THEN 1 ELSE 0 END) AS n_speed,
-           SUM(CASE WHEN kmh IS NOT NULL THEN CAST(floor(kmh * 100 + 0.5) AS BIGINT)
-                    ELSE 0 END) AS sum_speed_x100
+           CAST(SUM(CASE WHEN acc THEN 1 ELSE 0 END) AS BIGINT) AS n_accessible,
+           CAST(SUM(CASE WHEN acc THEN cw ELSE 0 END) AS BIGINT) AS sum_class_weight,
+           CAST(SUM(CASE WHEN kmh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_speed,
+           CAST(SUM(CASE WHEN kmh IS NOT NULL THEN CAST(floor(kmh * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS sum_speed_x100
     FROM scored GROUP BY mode
     """
 

@@ -288,6 +288,10 @@ def dated_tile_partials(
 
     ds_, zs, xs, ys, ns = [], [], [], [], []
     for z in zooms:
+        # x/y get 20 bits each in the packed group key below; deeper zooms
+        # would silently alias tiles (date occupies bits 40..63: 24 bits,
+        # enough for any yymmdd < 2^20)
+        assert z <= 20, f"dated_tile_partials supports zoom <= 20, got {z}"
         x, y = lonlat_to_tile(lon, lat, z)
         key = (
             (date.astype(np.uint64) << np.uint64(40))
@@ -314,14 +318,34 @@ def dated_tile_partials(
     )
 
 
+def merge_dated_tile_partials(group: pa.Table) -> pa.Table:
+    """Final merge of one (date, z, x, y) group — sums the partial counts."""
+    n = int(np.asarray(group["n_points"], dtype=np.int64).sum())
+    return pa.table(
+        {
+            "date": group["date"][:1],
+            "z": group["z"][:1],
+            "x": group["x"][:1],
+            "y": group["y"][:1],
+            "n_points": pa.array([n], pa.int64()),
+        }
+    )
+
+
 def materialize_dated_tiles(
     pts_ds, zooms: list[int], ranges: list[DatedRange],
-    lon_col="lon", lat_col="lat", ts_col="ts_us",
-) -> pa.Table:
+    lon_col="lon", lat_col="lat", ts_col="ts_us", merge: str = "driver",
+):
     """Dated tile rollup: filter to the union of the DatedRanges (the
     reference's flat_map over row ranges), per-batch partials keyed
-    (date, z, x, y), bounded driver merge, Hilbert key, ordered by the row
-    key (hilbert, date — example/tile.rs:115-117)."""
+    (date, z, x, y), Hilbert key, ordered by the row key
+    (hilbert, date — example/tile.rs:115-117).
+
+    ``merge="driver"`` (default): partials — bounded by dates × tiles —
+    merge in one NumPy pass on the driver and return a ``pa.Table``.
+    ``merge="shuffle"``: ``groupby(date,z,x,y).map_groups`` + distributed
+    sort, the path for deep zooms × long date ranges that exceed one
+    machine; returns a Dataset."""
 
     def _part(b: pa.Table) -> pa.Table:
         ts = np.asarray(b[ts_col], dtype=np.int64)
@@ -333,6 +357,13 @@ def materialize_dated_tiles(
         )
 
     partials = pts_ds.map_batches(_part, batch_format="pyarrow")
+    if merge == "shuffle":
+        merged = partials.groupby(["date", "z", "x", "y"]).map_groups(
+            merge_dated_tile_partials, batch_format="pyarrow"
+        )
+        return merged.map_batches(add_hilbert, batch_format="pyarrow").sort(
+            ["z", "hilbert", "date"]
+        )
     tabs = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         for b in partials.iter_batches(batch_format="pyarrow")
@@ -356,15 +387,18 @@ def materialize_dated_tiles(
     z = np.asarray(t["z"], dtype=np.int64)
     x = np.asarray(t["x"]).astype(np.uint64)
     y = np.asarray(t["y"]).astype(np.uint64)
-    key = (
-        (date.astype(np.uint64) << np.uint64(46))
-        | (z.astype(np.uint64) << np.uint64(40))
-        | (x << np.uint64(20))
-        | y
+    # lexsort, not a hand-packed u64: yymmdd needs 20 bits and a packed key
+    # would silently truncate dates >= 2027-01-01 (and cap zoom at 20)
+    order = np.lexsort((y, x, z, date))
+    ds_ = date[order]
+    zs_ = z[order]
+    xs_ = x[order]
+    ys_ = y[order]
+    same = (
+        (ds_[1:] == ds_[:-1]) & (zs_[1:] == zs_[:-1])
+        & (xs_[1:] == xs_[:-1]) & (ys_[1:] == ys_[:-1])
     )
-    order = np.argsort(key, kind="stable")
-    key_s = key[order]
-    bounds = np.flatnonzero(np.concatenate(([True], key_s[1:] != key_s[:-1])))
+    bounds = np.flatnonzero(np.concatenate(([True], ~same)))
     n = np.asarray(t["n_points"], dtype=np.int64)[order]
     n_m = np.add.reduceat(n, bounds)
     sel = order[bounds]
@@ -419,9 +453,18 @@ def scan_dated_tiles(
     import datetime as dt
 
     uniq, inv = np.unique(date, return_inverse=True)
+    # same pivot as strftime('%y') used by yymmdd_of_days: 70..99 are
+    # 1970-1999, 00..69 are 2000-2069 — not unconditionally 2000+yy
     days_u = np.asarray(
         [
-            (dt.date(2000 + d // 10000, (d // 100) % 100, d % 100) - dt.date(1970, 1, 1)).days
+            (
+                dt.date(
+                    (1900 if d // 10000 >= 70 else 2000) + d // 10000,
+                    (d // 100) % 100,
+                    d % 100,
+                )
+                - dt.date(1970, 1, 1)
+            ).days
             for d in uniq.tolist()
         ],
         dtype=np.int64,

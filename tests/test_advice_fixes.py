@@ -249,3 +249,160 @@ def test_window_network_keying_shares_cache_and_preserves_results():
     except ValueError:
         pass  # bbox may exceed the covering cap — fallback path still taken
     assert any(k not in before for k in store._networks), "fallback entry expected"
+
+
+# ---------------------------------------------------------------------------
+# round-2 ADVICE regressions (dated-tile key packing, yy pivot, C overflow)
+# ---------------------------------------------------------------------------
+
+
+def test_dated_tiles_survive_post_2027_dates(ray_session):
+    """materialize_dated_tiles used a hand-packed u64 giving the yymmdd
+    date only 18 bits — any date >= 2027-01-01 lost its top bits. The
+    lexsort rewrite must group and order such dates correctly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from routers_ray.tiles import DatedRange, materialize_dated_tiles
+
+    def us(day_iso):
+        import datetime as dt
+
+        d = dt.datetime.fromisoformat(day_iso + "T12:00:00")
+        return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    pts = pa.table(
+        {
+            "lon": pa.array([10.0, 10.0, 10.0, 150.0]),
+            "lat": pa.array([20.0, 20.0, 20.0, -30.0]),
+            "ts_us": pa.array(
+                [us("2027-01-01"), us("2027-01-01"), us("2030-06-15"), us("2027-01-01")],
+                pa.int64(),
+            ),
+        }
+    )
+    r = DatedRange.parse("2026-12-31", "2031-01-01", "0-1-2-3-4-5-6")
+    t = materialize_dated_tiles(rd.from_arrow(pts), [7], [r])
+    rows = sorted(
+        zip(t["date"].to_pylist(), t["x"].to_pylist(), t["n_points"].to_pylist())
+    )
+    # three distinct (tile, date) groups with exact counts
+    assert [d for d, _, _ in rows] == [270101, 270101, 300615]
+    assert [n for _, _, n in rows] == [1, 2, 1] or [n for _, _, n in rows] == [2, 1, 1]
+    # final order is (z, hilbert, date)
+    import numpy as np
+
+    zz = np.asarray(t["z"], dtype=np.int64)
+    hh = np.asarray(t["hilbert"]).astype(np.uint64)
+    dd = np.asarray(t["date"], dtype=np.int64)
+    order = np.lexsort((dd, hh, zz))
+    assert (order == np.arange(len(t))).all()
+
+
+def test_dated_tiles_shuffle_matches_driver(ray_session):
+    """merge="shuffle" (groupby + distributed sort) returns the same rows
+    in the same (z, hilbert, date) order as the driver merge."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from routers_ray.tiles import DatedRange, materialize_dated_tiles
+
+    rng = np.random.default_rng(11)
+    n = 400
+    base = 1704067200000000  # 2024-01-01
+    pts = pa.table(
+        {
+            "lon": pa.array(rng.uniform(-10, 10, n)),
+            "lat": pa.array(rng.uniform(-10, 10, n)),
+            "ts_us": pa.array(
+                base + rng.integers(0, 40, n) * 86_400_000_000, pa.int64()
+            ),
+        }
+    )
+    r = DatedRange.parse("2024-01-01", "2024-02-29", "0-1-2-3-4-5-6")
+    drv = materialize_dated_tiles(rd.from_arrow(pts), [5, 7], [r], merge="driver")
+    shf = materialize_dated_tiles(rd.from_arrow(pts), [5, 7], [r], merge="shuffle")
+    import pyarrow as pa2
+
+    shf_t = pa2.concat_tables(
+        [b for b in shf.iter_batches(batch_format="pyarrow")]
+    ).select(drv.column_names)
+    assert drv.num_rows == shf_t.num_rows
+    for col in drv.column_names:
+        assert drv[col].to_pylist() == shf_t[col].to_pylist(), col
+
+
+def test_scan_dated_tiles_pre2000_roundtrip(ray_session):
+    """yymmdd 70..99 must decode as 1970-1999 (strftime '%y' pivot), so a
+    1975 point survives a 1975 DatedRange scan."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from routers_ray.tiles import (
+        DatedRange,
+        lonlat_to_tile,
+        materialize_dated_tiles,
+        scan_dated_tiles,
+    )
+
+    import datetime as dt
+
+    ts = int(
+        dt.datetime(1975, 1, 15, 12, tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    pts = pa.table(
+        {
+            "lon": pa.array([10.0]),
+            "lat": pa.array([20.0]),
+            "ts_us": pa.array([ts], pa.int64()),
+        }
+    )
+    r = DatedRange.parse("1975-01-01", "1975-01-31", "0-1-2-3-4-5-6")
+    t = materialize_dated_tiles(rd.from_arrow(pts), [7], [r])
+    assert t.num_rows == 1 and t["date"].to_pylist() == [750115]
+    x7, y7 = (int(v) for v in lonlat_to_tile(10.0, 20.0, 7))
+    hit = scan_dated_tiles(t, 5, x7 >> 2, y7 >> 2, [r], storage_zoom=7)
+    assert hit.num_rows == 1
+
+
+def test_dated_partials_zoom_bound():
+    """x/y get 20 bits in the partial group key — deeper zooms must fail
+    loudly instead of aliasing tiles."""
+    import pyarrow as pa
+
+    from routers_ray.tiles import dated_tile_partials
+
+    pts = pa.table(
+        {
+            "lon": pa.array([10.0]),
+            "lat": pa.array([20.0]),
+            "ts_us": pa.array([1704187200000000], pa.int64()),
+        }
+    )
+    with pytest.raises(AssertionError):
+        dated_tile_partials(pts, [21])
+
+
+def test_c_kernel_huge_weights_match_python():
+    """Edge weights near uint32 max made the old int64 avg*avg overflow
+    (UB); the double-squared form must stay bit-equal to the Python path."""
+    from routers_ray._ckernels import bounded_dijkstra_c, have_ckernel
+    from routers_ray.csr import bounded_dijkstra_py, build_csr
+
+    if not have_ckernel():
+        pytest.skip("no C toolchain")
+    rng = np.random.default_rng(23)
+    n, m = 40, 160
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.integers(2**31, 2**32 - 1, m, dtype=np.int64).astype(np.uint32)
+    acc = np.ones(m, dtype=bool)
+    lon = rng.uniform(-118.6, -118.4, n)
+    lat = rng.uniform(33.9, 34.1, n)
+    csr = build_csr(np.arange(n), lon, lat, src, dst, w,
+                    np.zeros(m, np.uint8), np.arange(m), acc)
+    for root in range(6):
+        pp, dp = bounded_dijkstra_py(csr, root, 1e12)
+        pc_, dc = bounded_dijkstra_c(csr, root, 1e12)
+        assert dp == dc
+        assert pp == pc_
