@@ -529,3 +529,128 @@ def hilbert_lookup_path(z: int) -> str:
     )
     _PLANTED[key] = path
     return path
+
+
+# ---------------------------------------------------------------------------
+# planted embedding world: the ANN-LSH + embedding-near-dup oracles
+# ---------------------------------------------------------------------------
+
+
+def planted_embedding_corpus(
+    n_clusters: int = 20, cluster_size: int = 12, n_noise: int = 60,
+    dim: int = 32, seed: int = 13,
+):
+    """Deterministic embedding table with SEPARABLE planted clusters.
+
+    Each cluster is a unit direction plus tiny (0.02) member jitter —
+    intra-cluster cosine ≈ 0.999, inter-cluster cosine ≲ 0.6 (random
+    directions in R^32) — so (a) every query's exact top-k is its own
+    cluster and multi-table sign-LSH provably co-buckets it (the planted
+    world where LSH recall is 1.0 by construction), and (b) near-dup
+    pairs at the 0.95 threshold are exactly the intra-cluster pairs.
+    ``n_noise`` isolated vectors exercise the no-pair path. Cached per
+    process."""
+    key = f"emb_{n_clusters}_{cluster_size}_{n_noise}_{dim}_{seed}"
+    hit = _PLANTED.get(key)
+    if hit is not None:
+        return hit
+    rng = np.random.default_rng(seed)
+    vecs = []
+    for _ in range(n_clusters):
+        c = rng.normal(size=dim)
+        c /= np.linalg.norm(c)
+        for _ in range(cluster_size):
+            v = c + 0.02 * rng.normal(size=dim)
+            vecs.append(v / np.linalg.norm(v))
+    for _ in range(n_noise):
+        v = rng.normal(size=dim)
+        vecs.append(v / np.linalg.norm(v))
+    mat = np.asarray(vecs, dtype=np.float64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(mat.shape[0], dtype=np.int64), pa.int64()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+        }
+    )
+    _PLANTED[key] = (tbl, mat)
+    return tbl, mat
+
+
+def _scalar_cosine_topk(mat: np.ndarray, query_ids: list[int], k: int = 10):
+    """Independent exact top-k: plain loops + the (sim_r desc, id asc)
+    tie-break, 1e-6 half-up rounding — no shared code with sim.py."""
+    rows = []
+    norms = [math.sqrt(sum(x * x for x in v)) for v in mat.tolist()]
+    for qid in query_ids:
+        q = mat[qid].tolist()
+        sims = []
+        for vid in range(mat.shape[0]):
+            if vid == qid:
+                continue
+            dot = sum(a * b for a, b in zip(q, mat[vid].tolist()))
+            s = dot / max(norms[qid] * norms[vid], 1e-300)
+            sims.append((math.floor(s * 1e6 + 0.5) / 1e6, vid))
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        for s, vid in sims[:k]:
+            rows.append((qid, vid, s))
+    return rows
+
+
+def planted_ann_expected_path(k: int = 10, n_queries: int = 5) -> str:
+    """Exact top-k of the planted embedding world for the first
+    ``n_queries`` vec_ids, written once."""
+    key = f"ann_expected_{k}_{n_queries}"
+    hit = _PLANTED.get(key)
+    if hit is not None:
+        return hit
+    _, mat = planted_embedding_corpus()
+    rows = _scalar_cosine_topk(mat, list(range(n_queries)), k)
+    out_dir = tempfile.mkdtemp(prefix="routers_ray_oracle_ann_")
+    path = os.path.join(out_dir, "ann_expected.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array([r[0] for r in rows], pa.int64()),
+                "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+                "sim": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        ),
+        path,
+    )
+    _PLANTED[key] = path
+    return path
+
+
+def planted_embed_dups_expected_path(threshold: float = 0.95) -> str:
+    """All (a < b) pairs of the planted world with rounded cosine >=
+    threshold — scalar all-pairs recomputation, written once."""
+    key = f"embdup_expected_{threshold}"
+    hit = _PLANTED.get(key)
+    if hit is not None:
+        return hit
+    _, mat = planted_embedding_corpus()
+    n = mat.shape[0]
+    norms = [math.sqrt(sum(x * x for x in v)) for v in mat.tolist()]
+    rows = []
+    for a in range(n):
+        va = mat[a].tolist()
+        for b in range(a + 1, n):
+            dot = sum(x * y for x, y in zip(va, mat[b].tolist()))
+            s = dot / max(norms[a] * norms[b], 1e-300)
+            s = math.floor(s * 1e6 + 0.5) / 1e6
+            if s >= threshold:
+                rows.append((a, b, s))
+    out_dir = tempfile.mkdtemp(prefix="routers_ray_oracle_embdup_")
+    path = os.path.join(out_dir, "embed_dups_expected.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id_a": pa.array([r[0] for r in rows], pa.int64()),
+                "id_b": pa.array([r[1] for r in rows], pa.int64()),
+                "sim": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        ),
+        path,
+    )
+    _PLANTED[key] = path
+    return path

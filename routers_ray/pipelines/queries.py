@@ -907,6 +907,68 @@ def q_ann_lsh(sf_dir: str):
     return ann_lsh_topk(ds, queries[order], qids[order], k=10)
 
 
+def q_ann_lsh_planted(sf_dir: str):
+    """Multi-table multi-probe sign-LSH top-10 over the planted
+    separable-cluster embedding world — the fully-oracled ANN variant:
+    intra-cluster cosine ≈ 0.999 vs inter-cluster ≲ 0.6, so every table
+    co-buckets a query with its whole cluster and the LSH result EQUALS
+    the exact top-k, compared against an independent scalar recomputation
+    (``oracle_match._scalar_cosine_topk``)."""
+    import ray.data as rd
+
+    from ..oracle_match import planted_embedding_corpus
+    from ..sim import ann_lsh_topk
+
+    tbl, mat = planted_embedding_corpus()
+    n_q = 5
+    queries = mat[:n_q]
+    qids = np.arange(n_q, dtype=np.int64)
+    ds = rd.from_arrow(tbl)
+    return ann_lsh_topk(ds, queries, qids, k=10)
+
+
+def sql_ann_lsh_planted() -> str:
+    from ..oracle_match import planted_ann_expected_path
+
+    return (
+        "SELECT query_id, vec_id, sim FROM "
+        f"read_parquet('{planted_ann_expected_path()}')"
+    )
+
+
+def q_embed_dups_lsh(sf_dir: str):
+    """LSH-bucketed embedding near-dup pairs (the scale path of
+    ``embed_dups`` — co-bucket then verify, no all-pairs broadcast) over
+    the planted cluster world, oracled against a scalar all-pairs
+    recomputation (``oracle_match.planted_embed_dups_expected_path``)."""
+    import ray.data as rd
+
+    from ..oracle_match import planted_embedding_corpus
+    from ..sim import embed_dups_lsh
+
+    tbl, _ = planted_embedding_corpus()
+    # 8 tables × 4 planes: wider buckets + more independent chances — on
+    # the planted clusters the per-pair miss probability is ~1e-6, i.e.
+    # recall 1.0 deterministically under this seed
+    out = embed_dups_lsh(rd.from_arrow(tbl), threshold=0.95, n_planes=4, n_tables=8)
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("sim", pa.float64())])
+    tabs = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in out.iter_batches(batch_format="pyarrow")
+    ]
+    tabs = [t.cast(schema) for t in tabs if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else schema.empty_table()
+
+
+def sql_embed_dups_lsh() -> str:
+    from ..oracle_match import planted_embed_dups_expected_path
+
+    return (
+        "SELECT id_a, id_b, sim FROM "
+        f"read_parquet('{planted_embed_dups_expected_path()}')"
+    )
+
+
 def q_embed_norms(sf_dir: str):
     """Per-label embedding count + exact-integer L2-norm sums."""
     import ray.data as rd
@@ -1472,7 +1534,12 @@ def sql_sessionize() -> str:
 def q_embed_dups(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (threshold 0.95, a < b) — the
     embedding leg of the dedup suite. Partial pairs per batch against the
-    broadcast full matrix (upper triangle by id)."""
+    broadcast full matrix (upper triangle by id).
+
+    This is the SMALL-SIDE EXACT ORACLE variant — O(N²) compute with the
+    full matrix broadcast into every batch; fine at sf scale, not a
+    corpus-scale path. The scale route is ``embed_dups_lsh`` (bucketed
+    co-bucket → verify, oracled on the planted cluster world)."""
     import ray.data as rd
 
     from ..sim import _stack_embeddings
@@ -1524,36 +1591,55 @@ def sql_embed_dups() -> str:
 
 def q_ngram_jaccard(sf_dir: str):
     """Token-set Jaccard of consecutive doc pairs (id, id+1) — the exact
-    n-gram-overlap verification kernel of the near-dup suite, SQL-checkable."""
+    n-gram-overlap verification kernel of the near-dup suite, SQL-checkable.
+
+    Distributed shape (``dedup_minhash``'s verify tail): each doc emits a
+    (doc_a=id, doc_b=id+1, text_a) pair seed; one hash join against the
+    (doc_id, text) projection lands the partner text in the same batch,
+    where the token-set Jaccard is computed — no driver gather, only pair
+    rows + referenced texts ride the exchange."""
     import ray.data as rd
 
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
-    def _tok(b: pa.Table) -> pa.Table:
+    def _seed(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        return pa.table(
+            {
+                "doc_a": ids,
+                "doc_b": pc.add(ids, pa.scalar(1, pa.int64())),
+                "text_a": b["text"],
+            }
+        )
+
+    def _proj(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()), "text": b["text"]})
 
-    tbl = pa.concat_tables(
-        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-        for t in ds.map_batches(_tok, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    seeds = ds.map_batches(_seed, batch_format="pyarrow")
+    docs_proj = ds.map_batches(_proj, batch_format="pyarrow")
+    joined = seeds.join(
+        docs_proj, "inner", 8, on=("doc_b",), right_on=("doc_id",)
     )
-    ids = np.asarray(tbl["doc_id"], dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    texts = np.asarray(tbl["text"].to_pylist(), dtype=object)[order]
-    tok_sets = [set((t or '').split(' ')) for t in texts]  # single-space split, matching SQL string_split
-    id_pos = {int(i): k for k, i in enumerate(ids)}
-    out_a, out_j = [], []
-    for i in ids.tolist():
-        j = id_pos.get(i + 1)
-        if j is None:
-            continue
-        sa, sb = tok_sets[id_pos[i]], tok_sets[j]
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        jac = inter / union if union else 1.0
-        out_a.append(i)
-        out_j.append(float(np.floor(jac * 1e6 + 0.5) / 1e6))
-    return pa.table({"doc_id": pa.array(out_a, pa.int64()), "jaccard": pa.array(out_j, pa.float64())})
+
+    def _jac(b: pa.Table) -> pa.Table:
+        ta = b["text_a"].to_pylist()
+        tb = b["text"].to_pylist()
+        out = np.empty(len(ta), dtype=np.float64)
+        for k, (x, y) in enumerate(zip(ta, tb)):
+            sa = set((x or "").split(" "))  # single-space split = SQL string_split
+            sb = set((y or "").split(" "))
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            jac = inter / union if union else 1.0
+            out[k] = np.floor(jac * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_a"], pa.int64()),
+                "jaccard": pa.array(out, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(_jac, batch_format="pyarrow")
 
 
 def sql_ngram_jaccard() -> str:
@@ -1638,6 +1724,8 @@ def registry() -> dict[str, tuple]:
         "langid": (q_langid, sql_langid()),
         "ann_topk": (q_ann_topk, sql_ann_topk()),
         "ann_lsh": (q_ann_lsh, None),
+        "ann_lsh_planted": (q_ann_lsh_planted, sql_ann_lsh_planted),
+        "embed_dups_lsh": (q_embed_dups_lsh, sql_embed_dups_lsh),
         "embed_norms": (q_embed_norms, sql_embed_norms()),
         "media_features": (q_media_features, sql_media_features()),
         # sql side is a LAZY callable (expected-parquet generation is paid

@@ -184,3 +184,137 @@ def ann_recall_at_k(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
         total += len(truth)
         hit += len(truth & got)
     return hit / max(total, 1)
+
+
+def _pack_embeddings(batch: pa.Table, id_col: str, vec_col: str) -> pa.Table:
+    """(vec_id, embedding list<float>) → (vec_id, emb_bytes) — Arrow's
+    hash join rejects nested non-key columns, so the vectors ride the
+    exchange as fixed-width float64 binary blobs."""
+    vecs = _stack_embeddings(batch[vec_col])
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    blobs = [v.tobytes() for v in vecs]
+    return pa.table(
+        {id_col: pa.array(ids, pa.int64()), "emb_bytes": pa.array(blobs, pa.binary())}
+    )
+
+
+def _unpack_blob_matrix(col) -> np.ndarray:
+    blobs = col.to_pylist()
+    if not blobs:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.stack([np.frombuffer(b, dtype=np.float64) for b in blobs])
+
+
+def embed_dups_lsh(
+    ds, threshold: float = 0.95, n_planes: int = 8, n_tables: int = 6,
+    seed: int = 7, max_bucket: int = 256, num_partitions: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+):
+    """Embedding near-dup pairs via LSH co-bucketing — the scale path for
+    :func:`~routers_ray.pipelines.queries.q_embed_dups`'s all-pairs
+    broadcast (``dedup_minhash``'s shuffle shape on vectors):
+
+    1. each vector emits ``n_tables`` (table, bucket) rows — sign-LSH over
+       independent hyperplane sets, so near-identical vectors co-bucket in
+       at least one table with overwhelming probability;
+    2. buckets emit candidate pairs (a < b) under a logged ``max_bucket``
+       cap; pairs dedup as a distributed groupby aggregate;
+    3. two hash joins land both packed vectors in one batch, where the
+       exact rounded cosine filters at ``threshold``.
+
+    Returns a Dataset of (id_a, id_b, sim). Approximate only in recall
+    (a pair missed by every table); every emitted pair is exactly
+    verified.
+    """
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    # probe dim lazily from the first row? planes need dim: peek schema via
+    # a tiny take — callers pass homogeneous fixed-dim embedding columns.
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = _stack_embeddings(first[vec_col]).shape[1]
+    tables = rng.normal(size=(n_tables, n_planes, dim))
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+
+    def _bucket_rows(b: pa.Table) -> pa.Table:
+        vecs = _stack_embeddings(b[vec_col])
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        outs_id, outs_t, outs_b = [], [], []
+        for t in range(n_tables):
+            bits = (vecs @ tables[t].T) > 0
+            bucket = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+            outs_id.append(ids)
+            outs_t.append(np.full(ids.size, t, dtype=np.int64))
+            outs_b.append(bucket)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(outs_id), pa.int64()),
+                "table_id": pa.array(np.concatenate(outs_t), pa.int64()),
+                "bucket": pa.array(np.concatenate(outs_b), pa.uint64()),
+            }
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique())
+        if len(ids) > max_bucket:
+            from .text import _log_bucket_cap
+
+            _log_bucket_cap("embed_lsh", len(ids))
+            ids = ids[:max_bucket]
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+            )
+        arr = np.asarray(ids, dtype=np.int64)
+        ii, jj = np.triu_indices(arr.size, k=1)
+        return pd.DataFrame({"id_a": arr[ii], "id_b": arr[jj]})
+
+    cand = (
+        ds.map_batches(_bucket_rows, batch_format="pyarrow")
+        .groupby(["table_id", "bucket"])
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    deduped = cand.groupby(["id_a", "id_b"]).count().map_batches(
+        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+
+    packed = ds.map_batches(
+        lambda b: _pack_embeddings(b, id_col, vec_col), batch_format="pyarrow"
+    )
+    with_a = deduped.join(
+        packed, "inner", num_partitions, on=("id_a",), right_on=(id_col,)
+    ).map_batches(
+        lambda b: pa.table(
+            {"id_a": b["id_a"], "id_b": b["id_b"], "bytes_a": b["emb_bytes"]}
+        ),
+        batch_format="pyarrow",
+    )
+    with_b = with_a.join(
+        packed, "inner", num_partitions, on=("id_b",), right_on=(id_col,)
+    )
+
+    def _verify(b: pa.Table) -> pa.Table:
+        va = _unpack_blob_matrix(b["bytes_a"])
+        vb = _unpack_blob_matrix(b["emb_bytes"])
+        if va.size == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        sims = (va * vb).sum(axis=1) / np.maximum(na * nb, 1e-300)
+        sims = np.floor(sims * 1e6 + 0.5) / 1e6
+        keep = np.flatnonzero(sims >= threshold)
+        return pa.table(
+            {
+                "id_a": pa.compute.cast(b["id_a"], pa.int64()).take(pa.array(keep)),
+                "id_b": pa.compute.cast(b["id_b"], pa.int64()).take(pa.array(keep)),
+                "sim": pa.array(sims[keep], pa.float64()),
+            }
+        )
+
+    return with_b.map_batches(_verify, batch_format="pyarrow")

@@ -208,3 +208,43 @@ def test_minhash_batched_signatures_match_per_doc():
     sig = minhash_signatures_batch(pa.array(texts))
     for i, t in enumerate(texts):
         assert np.array_equal(sig[:, i], minhash_signature(t)), t[:30]
+
+
+def test_embed_dups_lsh_parity_with_broadcast(ray_session):
+    """The bucketed LSH near-dup path agrees with the exact all-pairs
+    broadcast on both the sf corpus (no pairs at 0.95) and the planted
+    cluster world (1320 pairs) — the scale route is a drop-in for the
+    oracle route."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from routers_ray.oracle_match import planted_embedding_corpus
+    from routers_ray.pipelines.queries import q_embed_dups
+    from routers_ray.sim import embed_dups_lsh
+
+    # sf corpus: exact broadcast finds nothing >= 0.95; LSH must agree
+    exact = q_embed_dups("/root/testdata/sf0.001")
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    lsh = pa.concat_tables(
+        [b for b in embed_dups_lsh(ds, threshold=0.95).iter_batches(batch_format="pyarrow")]
+        or [pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})]
+    )
+    assert exact.num_rows == lsh.num_rows == 0
+
+    # planted world: pair sets identical
+    tbl, _ = planted_embedding_corpus()
+    got = pa.concat_tables(
+        b for b in embed_dups_lsh(
+            rd.from_arrow(tbl), threshold=0.95, n_planes=4, n_tables=8
+        ).iter_batches(batch_format="pyarrow")
+    )
+    pairs = sorted(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist()))
+    from routers_ray.oracle_match import planted_embed_dups_expected_path
+    import pyarrow.parquet as pq
+
+    exp = pq.read_table(planted_embed_dups_expected_path())
+    exp_pairs = sorted(zip(exp["id_a"].to_pylist(), exp["id_b"].to_pylist()))
+    assert pairs == exp_pairs
