@@ -1,116 +1,246 @@
-"""Time-conditional edge accessibility — a core subset of the reference's
-conditional-access / opening-hours parser fleet
-(``routers_codec/src/osm/parsers/{condition.rs,opening_hours.rs}``, ~1.1k
-LoC; the reference resolves the most-specific matching access restriction
-with default-allow, ``osm/mod.rs:200-235``).
+"""Time-conditional edge accessibility — the conditional-access /
+opening-hours grammar of the reference's parser fleet
+(``routers_codec/src/osm/parsers/primitives/{condition.rs,opening_hours.rs}``,
+~1.1k LoC; the reference resolves the most-specific matching access
+restriction with default-allow, ``osm/mod.rs:200-235``).
 
-Supported syntax (the OSM patterns that matter for routing):
+Supported conditional syntax (``value @ (condition)``):
 
-    "no @ (Mo-Fr 07:00-19:00)"          — closed weekday working hours
-    "yes @ (Sa,Su)"                     — open weekends only (else default)
-    "no @ (22:00-06:00)"                — closed nightly (wrapping range)
-    "no"                                — unconditionally closed
-    "yes" / "" / None                   — unconditionally open
+    "no @ (Mo-Fr 07:00-19:00)"            — closed weekday working hours
+    "yes @ (Sa,Su)"                       — open weekends only
+    "no @ (22:00-06:00)"                  — closed nightly (wrapping range)
+    "no @ (Jan-Mar)"                      — closed by month range
+    "no @ (Nov-Feb Mo-Fr 07:00-09:00)"    — month ∧ weekday ∧ time
+    "no @ (Mo-Fr 07:00-09:00,16:00-19:00)"— comma time-range lists
+    "no @ (Sa; Su 10:00-14:00)"           — rule chaining: ANY group matches
+    "no" / "yes" / "" / None              — unconditional
+
+Plus the bare opening-hours surface mirrored from ``opening_hours.rs``:
+``parse_opening_hours`` handles "24/7", "closed"/"off", ';'-chained rules,
+full weekday names, bare-hour times ("7-19"), and single time points
+(start + one hour, ``opening_hours.rs:276-283``).
 
 Evaluation is vectorized over int64 µs-epoch timestamps: each rule compiles
-once to (value, weekday-mask, minute-ranges) and evaluates per batch with
-NumPy — the compile-once / evaluate-per-batch split an actor stage needs.
+once to (month-mask, weekday-mask, minute-ranges) groups and evaluates per
+batch with NumPy — the compile-once / evaluate-per-batch split an actor
+stage needs.
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
 _DAYS = ["Mo", "Tu", "We", "Th", "Fr", "Sa", "Su"]
 _DAY_IDX = {d: i for i, d in enumerate(_DAYS)}
-_TIME_RE = re.compile(r"^(\d{1,2}):(\d{2})-(\d{1,2}):(\d{2})$")
+_DAY_FULL = {
+    "monday": 0, "tuesday": 1, "wednesday": 2, "thursday": 3,
+    "friday": 4, "saturday": 5, "sunday": 6,
+}
+_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+_MONTH_IDX = {m: i for i, m in enumerate(_MONTHS)}
+_ALL_DAYS = 0b1111111
+_ALL_MONTHS = 0b111111111111
 
 
-@dataclass
-class AccessRule:
-    """One compiled conditional: ``value`` applies when (weekday ∈ mask) and
-    (minute-of-day ∈ one of the ranges); otherwise the default holds."""
+def _day_of(tok: str) -> int | None:
+    if tok in _DAY_IDX:
+        return _DAY_IDX[tok]
+    return _DAY_FULL.get(tok.lower())
 
-    value: bool  # the access value WHEN the condition matches
-    day_mask: int  # bit i set = weekday i (Mo=0) matches
-    ranges: list[tuple[int, int]]  # minute-of-day [start, end); end<start wraps
 
-    unconditional: bool = False  # plain "yes"/"no" — value always applies
+class _ParseFail(Exception):
+    pass
 
 
 def _parse_days(tok: str) -> int:
+    """Weekday token → 7-bit mask. 'Mo-Fr', 'Sa,Su', 'Mo', full names;
+    ranges wrap the week (``Sa-Mo`` = Sa,Su,Mo)."""
     mask = 0
     for part in tok.split(","):
         part = part.strip()
+        if not part:
+            continue
         if "-" in part:
-            a, b = part.split("-")
-            ia, ib = _DAY_IDX[a], _DAY_IDX[b]
+            a, b = part.split("-", 1)
+            ia, ib = _day_of(a), _day_of(b)
+            if ia is None or ib is None:
+                raise _ParseFail(tok)
             i = ia
             while True:
                 mask |= 1 << i
                 if i == ib:
                     break
                 i = (i + 1) % 7
-        elif part:
-            mask |= 1 << _DAY_IDX[part]
+        else:
+            i = _day_of(part)
+            if i is None:
+                raise _ParseFail(tok)
+            mask |= 1 << i
     return mask
+
+
+def _parse_months(tok: str) -> int:
+    """Month token → 12-bit mask. 'Jan-Mar', 'Nov-Feb' (wraps), 'Dec',
+    comma lists."""
+    mask = 0
+    for part in tok.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "-" in part:
+            a, b = part.split("-", 1)
+            if a not in _MONTH_IDX or b not in _MONTH_IDX:
+                raise _ParseFail(tok)
+            i = _MONTH_IDX[a]
+            ib = _MONTH_IDX[b]
+            while True:
+                mask |= 1 << i
+                if i == ib:
+                    break
+                i = (i + 1) % 12
+        else:
+            if part not in _MONTH_IDX:
+                raise _ParseFail(tok)
+            mask |= 1 << _MONTH_IDX[part]
+    return mask
+
+
+_TIME_PART = re.compile(r"^(\d{1,2})(?::(\d{2}))?$")
+
+
+def _parse_minute(tok: str) -> int:
+    m = _TIME_PART.match(tok)
+    if not m:
+        raise _ParseFail(tok)
+    h = int(m.group(1))
+    mi = int(m.group(2) or 0)
+    if h > 24 or mi > 59:  # Time::new bounds (opening_hours.rs:48-54)
+        raise _ParseFail(tok)
+    return h * 60 + mi
+
+
+def _looks_like_time(tok: str) -> bool:
+    """A token is a time spec iff it starts with a digit
+    (``looks_like_time``, opening_hours.rs:198)."""
+    return bool(tok) and tok[0].isdigit()
+
+
+def _parse_times(tok: str) -> list[tuple[int, int]]:
+    """Time token → [start, end) minute ranges. Comma lists; bare hours;
+    a single time point spans one hour (opening_hours.rs:276-283)."""
+    ranges: list[tuple[int, int]] = []
+    for part in tok.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "-" in part:
+            a, b = part.split("-", 1)
+            ranges.append((_parse_minute(a), _parse_minute(b)))
+        else:
+            start = _parse_minute(part)
+            ranges.append((start, (start + 60) % 1440 or 1440))
+    return ranges
+
+
+@dataclass
+class ConditionGroup:
+    """One ';'-chained group: month ∧ weekday ∧ time-of-day conjunction."""
+
+    day_mask: int = _ALL_DAYS
+    month_mask: int = _ALL_MONTHS
+    ranges: list[tuple[int, int]] = field(default_factory=lambda: [(0, 1440)])
+
+
+@dataclass
+class AccessRule:
+    """Compiled conditional: ``value`` applies when ANY group matches;
+    otherwise the complement (OSM conditional-value-overrides-base)."""
+
+    value: bool
+    groups: list[ConditionGroup]
+    unconditional: bool = False  # plain "yes"/"no" — value always applies
+
+
+def _parse_group(text: str) -> ConditionGroup:
+    day_mask = 0
+    month_mask = 0
+    ranges: list[tuple[int, int]] = []
+    for tok in text.split():
+        if _looks_like_time(tok):
+            ranges.extend(_parse_times(tok))
+        elif tok.split(",")[0].split("-")[0] in _MONTH_IDX:
+            month_mask |= _parse_months(tok)
+        else:
+            day_mask |= _parse_days(tok)
+    return ConditionGroup(
+        day_mask=day_mask or _ALL_DAYS,
+        month_mask=month_mask or _ALL_MONTHS,
+        ranges=ranges or [(0, 1440)],
+    )
 
 
 def parse_access(expr: str | None, default: bool = True) -> AccessRule:
     """Compile one conditional-access expression. Unparseable conditions
     fall back to the default (the reference's default-allow posture)."""
     if expr is None or expr.strip() in ("", "yes"):
-        return AccessRule(True, 0, [], unconditional=True)
+        return AccessRule(True, [], unconditional=True)
     expr = expr.strip()
     if expr == "no":
-        return AccessRule(False, 0, [], unconditional=True)
+        return AccessRule(False, [], unconditional=True)
     m = re.match(r"^(yes|no)\s*@\s*\((.*)\)$", expr)
     if not m:
-        return AccessRule(default, 0, [], unconditional=True)
+        return AccessRule(default, [], unconditional=True)
     value = m.group(1) == "yes"
-    day_mask = 0
-    ranges: list[tuple[int, int]] = []
-    for tok in m.group(2).split():
-        tm = _TIME_RE.match(tok)
-        if tm:
-            h1, m1, h2, m2 = (int(g) for g in tm.groups())
-            ranges.append((h1 * 60 + m1, h2 * 60 + m2))
-        else:
-            day_mask |= _parse_days(tok)
-    if day_mask == 0:
-        day_mask = 0b1111111  # no day constraint → every day
-    if not ranges:
-        ranges = [(0, 24 * 60)]
-    return AccessRule(value, day_mask, ranges)
+    try:
+        groups = [_parse_group(g) for g in m.group(2).split(";") if g.strip()]
+    except _ParseFail:
+        return AccessRule(default, [], unconditional=True)
+    if not groups:
+        return AccessRule(default, [], unconditional=True)
+    return AccessRule(value, groups)
+
+
+def _month_index(ts_us: np.ndarray) -> np.ndarray:
+    """Vectorized month-of-year (Jan=0) from µs epoch, UTC."""
+    months = ts_us.astype("datetime64[us]").astype("datetime64[M]")
+    return (months.astype(np.int64) % 12 + 12) % 12
+
+
+def _group_matches(g: ConditionGroup, ts_us: np.ndarray) -> np.ndarray:
+    days_since_epoch = ts_us // 86_400_000_000
+    weekday = (days_since_epoch + 3) % 7  # 1970-01-01 was a Thursday (Mo=0 → 3)
+    minute = (ts_us // 60_000_000) % 1440
+    ok = ((np.uint32(g.day_mask) >> weekday.astype(np.uint32)) & np.uint32(1)).astype(bool)
+    if g.month_mask != _ALL_MONTHS:
+        month = _month_index(ts_us)
+        ok &= ((np.uint32(g.month_mask) >> month.astype(np.uint32)) & np.uint32(1)).astype(bool)
+    time_ok = np.zeros(ts_us.shape, dtype=bool)
+    for start, end in g.ranges:
+        if end >= start:
+            time_ok |= (minute >= start) & (minute < end)
+        else:  # wrapping range (22:00-06:00)
+            time_ok |= (minute >= start) | (minute < end)
+    return ok & time_ok
 
 
 def evaluate(rule: AccessRule, ts_us: np.ndarray, default: bool = True) -> np.ndarray:
     """Vectorized accessibility at µs-epoch timestamps (UTC).
 
-    When the condition matches, ``rule.value`` applies; otherwise the
-    opposite of ``rule.value`` for restriction-style rules ("no @ …" means
-    open outside the window), matching OSM conditional semantics where the
-    conditional value overrides the implied base value.
+    When any chained group matches, ``rule.value`` applies; otherwise the
+    opposite ("no @ …" means open outside the window), matching OSM
+    conditional semantics where the conditional value overrides the
+    implied base value.
     """
     ts_us = np.asarray(ts_us, dtype=np.int64)
     if rule.unconditional:
         return np.full(ts_us.shape, rule.value, dtype=bool)
-    days_since_epoch = ts_us // 86_400_000_000
-    weekday = (days_since_epoch + 3) % 7  # 1970-01-01 was a Thursday (Mo=0 → 3)
-    minute = (ts_us // 60_000_000) % 1440
-    day_ok = (np.uint32(rule.day_mask) >> weekday.astype(np.uint32)) & np.uint32(1)
-    time_ok = np.zeros(ts_us.shape, dtype=bool)
-    for start, end in rule.ranges:
-        if end >= start:
-            time_ok |= (minute >= start) & (minute < end)
-        else:  # wrapping range (22:00-06:00)
-            time_ok |= (minute >= start) | (minute < end)
-    cond = day_ok.astype(bool) & time_ok
-    # conditional value inside the window, its complement outside
-    # ("no @ (Mo-Fr 07:00-19:00)" = closed weekday daytime, open otherwise)
+    cond = np.zeros(ts_us.shape, dtype=bool)
+    for g in rule.groups:
+        cond |= _group_matches(g, ts_us)
     return np.where(cond, rule.value, not rule.value)
 
 
@@ -126,3 +256,86 @@ def access_mask_batch(conditions: list[str | None], ts_us: np.ndarray) -> np.nda
             compiled[c] = rule
         out[i] = evaluate(rule, ts_us)
     return out
+
+
+# ---------------------------------------------------------------------------
+# bare opening-hours surface (``opening_hours.rs`` mirror)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class OpeningRule:
+    """``OpeningRule { weekdays, times, closed }``
+    (opening_hours.rs:107-112). ``day_mask=None`` = no weekday
+    restriction."""
+
+    day_mask: int | None
+    times: list[tuple[int, int]]
+    closed: bool = False
+
+
+@dataclass
+class OpeningHours:
+    rules: list[OpeningRule]
+
+    def is_open_at(self, ts_us: np.ndarray) -> np.ndarray:
+        """Open iff ANY non-closed rule matches (``is_open_at``,
+        opening_hours.rs:311-338). End-inclusive time ranges
+        (``time_in_range``, :341-355); we check weekday ranges properly
+        where the reference leaves Range as a matched-for-now TODO."""
+        ts_us = np.asarray(ts_us, dtype=np.int64)
+        weekday = ((ts_us // 86_400_000_000) + 3) % 7
+        minute = (ts_us // 60_000_000) % 1440
+        out = np.zeros(ts_us.shape, dtype=bool)
+        for r in self.rules:
+            if r.closed:
+                continue
+            ok = (
+                np.ones(ts_us.shape, dtype=bool)
+                if r.day_mask is None
+                else ((np.uint32(r.day_mask) >> weekday.astype(np.uint32)) & np.uint32(1)).astype(bool)
+            )
+            t_ok = np.zeros(ts_us.shape, dtype=bool)
+            for start, end in r.times:
+                if start <= end:
+                    t_ok |= (minute >= start) & (minute <= end)
+                else:  # overnight
+                    t_ok |= (minute >= start) | (minute <= end)
+            out |= ok & t_ok
+        return out
+
+
+def parse_opening_hours(expr: str) -> OpeningHours:
+    """Parse an opening_hours value (``OpeningHoursParser::parse``,
+    opening_hours.rs:143-174): '24/7', 'closed'/'off', ';'-separated
+    rules of [weekdays] time-ranges. Raises ValueError on garbage —
+    the reference returns Err."""
+    text = expr.strip()
+    if not text:
+        raise ValueError("No rules")
+    if text == "24/7":
+        return OpeningHours([OpeningRule(None, [(0, 1440)], closed=False)])
+    rules = []
+    for part in text.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        if part.lower() in ("closed", "off"):
+            rules.append(OpeningRule(None, [], closed=True))
+            continue
+        day_mask: int | None = None
+        times: list[tuple[int, int]] = []
+        try:
+            for tok in part.split():
+                if _looks_like_time(tok):
+                    times.extend(_parse_times(tok))
+                else:
+                    day_mask = (day_mask or 0) | _parse_days(tok)
+        except _ParseFail as exc:
+            raise ValueError(f"Invalid rule part: {part}") from exc
+        if not times:
+            times = [(0, 1440)]
+        rules.append(OpeningRule(day_mask, times, closed=False))
+    if not rules:
+        raise ValueError("No rules")
+    return OpeningHours(rules)

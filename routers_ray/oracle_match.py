@@ -654,3 +654,161 @@ def planted_embed_dups_expected_path(threshold: float = 0.95) -> str:
     )
     _PLANTED[key] = path
     return path
+
+
+# ---------------------------------------------------------------------------
+# planted conditional-access world: the opening-hours/condition oracle
+# ---------------------------------------------------------------------------
+
+ACCESS_PROBES_US = [
+    # (label chosen to span months / weekdays / hours, µs epoch UTC)
+    1704708000000000,   # 2024-01-08 Mon 10:00 — Jan, weekday, daytime
+    1704747600000000,   # 2024-01-08 Mon 21:00 — Jan, weekday, evening
+    1705154400000000,   # 2024-01-13 Sat 14:00 — Jan, weekend
+    1707904800000000,   # 2024-02-14 Wed 10:00 — Feb
+    1719482400000000,   # 2024-06-27 Thu 10:00 — Jun
+    1721008800000000,   # 2024-07-15 Mon 02:00 — Jul, night
+    1732615200000000,   # 2024-11-26 Tue 10:00 — Nov
+    1735292400000000,   # 2024-12-27 Fri 09:30 — Dec
+]
+
+_ACCESS_CONDITIONS = [
+    None,
+    "yes",
+    "no",
+    "no @ (Mo-Fr 07:00-19:00)",
+    "yes @ (Sa,Su)",
+    "no @ (22:00-06:00)",
+    "no @ (Jan-Mar)",
+    "no @ (Nov-Feb Mo-Fr 07:00-19:00)",
+    "no @ (Jul)",
+    "no @ (Sa; Su 10:00-14:00)",
+    "no @ (Mo-Fr 07:00-09:00,16:00-19:00)",
+    "designated @ sunrise-sunset",  # unparseable → default allow
+]
+
+
+def planted_access_world(n_edges: int = 600, seed: int = 29) -> str:
+    """Edge table with conditional-access expressions drawn from the
+    supported grammar (months, chaining, wrapping nights, comma lists,
+    unparseable fallbacks). Cached per process; returns parquet path."""
+    hit = _PLANTED.get("access_path")
+    if hit is not None:
+        return hit
+    rng = np.random.default_rng(seed)
+    conds = [
+        _ACCESS_CONDITIONS[int(rng.integers(0, len(_ACCESS_CONDITIONS)))]
+        for _ in range(n_edges)
+    ]
+    tbl = pa.table(
+        {
+            "edge_id": pa.array(np.arange(n_edges, dtype=np.int64), pa.int64()),
+            "condition": pa.array(conds, pa.string()),
+        }
+    )
+    out_dir = tempfile.mkdtemp(prefix="routers_ray_oracle_access_")
+    path = os.path.join(out_dir, "planted_access.parquet")
+    pq.write_table(tbl, path)
+    _PLANTED["access_path"] = path
+    return path
+
+
+def _scalar_access_open(cond, ts_us: int) -> bool:
+    """Independent per-timestamp evaluation via the datetime module —
+    reimplements the conditional grammar without touching access.py."""
+    import datetime as dt
+
+    if cond is None or cond.strip() in ("", "yes"):
+        return True
+    cond = cond.strip()
+    if cond == "no":
+        return False
+    m = re.match(r"^(yes|no)\s*@\s*\((.*)\)$", cond)
+    if not m:
+        return True  # default allow
+    value = m.group(1) == "yes"
+    d = dt.datetime.fromtimestamp(ts_us / 1e6, tz=dt.timezone.utc)
+    day_names = ["Mo", "Tu", "We", "Th", "Fr", "Sa", "Su"]
+    mon_names = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                 "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+    def expand(names, tok):
+        out = set()
+        for part in tok.split(","):
+            if "-" in part:
+                a, b = part.split("-", 1)
+                if a not in names or b not in names:
+                    raise ValueError(tok)
+                i = names.index(a)
+                while True:
+                    out.add(i)
+                    if i == names.index(b):
+                        break
+                    i = (i + 1) % len(names)
+            elif part:
+                if part not in names:
+                    raise ValueError(tok)
+                out.add(names.index(part))
+        return out
+
+    matched = False
+    try:
+        for group in m.group(2).split(";"):
+            days, months, windows = None, None, None
+            for tok in group.split():
+                if tok[0].isdigit():
+                    windows = windows or []
+                    for rp in tok.split(","):
+                        a, b = rp.split("-", 1)
+
+                        def mins(t):
+                            bits = t.split(":")
+                            return int(bits[0]) * 60 + (int(bits[1]) if len(bits) > 1 else 0)
+
+                        windows.append((mins(a), mins(b)))
+                elif tok.split(",")[0].split("-")[0] in mon_names:
+                    months = (months or set()) | expand(mon_names, tok)
+                else:
+                    days = (days or set()) | expand(day_names, tok)
+            minute = d.hour * 60 + d.minute
+            ok = (days is None or d.weekday() in days) and (
+                months is None or (d.month - 1) in months
+            )
+            if ok and windows is not None:
+                t_ok = False
+                for s, e in windows:
+                    t_ok |= (s <= minute < e) if e >= s else (minute >= s or minute < e)
+                ok = t_ok
+            matched |= ok
+    except ValueError:
+        return True  # unparseable → default allow
+    return value if matched else not value
+
+
+def planted_access_expected_path() -> str:
+    """Per-probe open-edge counts of the planted access world, via the
+    scalar datetime recomputation. Written once."""
+    hit = _PLANTED.get("access_expected")
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as papq
+
+    tbl = papq.read_table(planted_access_world())
+    conds = tbl["condition"].to_pylist()
+    rows = []
+    for ts_us in ACCESS_PROBES_US:
+        n_open = sum(1 for c in conds if _scalar_access_open(c, ts_us))
+        rows.append((ts_us, n_open))
+    out_dir = tempfile.mkdtemp(prefix="routers_ray_oracle_accessx_")
+    path = os.path.join(out_dir, "access_expected.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "ts_us": pa.array([r[0] for r in rows], pa.int64()),
+                "n_open": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        path,
+    )
+    _PLANTED["access_expected"] = path
+    return path

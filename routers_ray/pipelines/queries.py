@@ -1207,6 +1207,45 @@ def sql_tiles_dated() -> str:
     """
 
 
+def q_access_windows(sf_dir: str):
+    """Time-conditional edge accessibility over the planted conditional
+    world — months, rule chaining, wrapping nights, comma time lists
+    (``condition.rs``/``opening_hours.rs`` grammar). Per-batch vectorized
+    evaluation (``access.access_mask_batch``, compile-once-per-condition)
+    → per-probe open-edge counts as a distributed partial aggregation,
+    oracled against an independent per-timestamp datetime recomputation."""
+    import ray.data as rd
+
+    from ..access import access_mask_batch
+    from ..oracle_match import ACCESS_PROBES_US, planted_access_world
+
+    probes = np.asarray(ACCESS_PROBES_US, dtype=np.int64)
+    ds = rd.read_parquet(planted_access_world())
+
+    def _partial(b: pa.Table) -> pa.Table:
+        mask = access_mask_batch(b["condition"].to_pylist(), probes)
+        return pa.table(
+            {
+                "ts_us": pa.array(probes, pa.int64()),
+                "n_open": pa.array(mask.sum(axis=0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby("ts_us").sum("n_open")
+    return agg.map_batches(
+        lambda t: t.rename_columns(["ts_us", "n_open"]), batch_format="pyarrow"
+    )
+
+
+def sql_access_windows() -> str:
+    from ..oracle_match import planted_access_expected_path
+
+    return (
+        "SELECT ts_us, n_open FROM "
+        f"read_parquet('{planted_access_expected_path()}')"
+    )
+
+
 def q_transport_access(sf_dir: str):
     """Per-transport-mode edge accessibility + speed/class metadata over
     the planted metadata world — the precomputed-access-column path
@@ -1734,6 +1773,7 @@ def registry() -> dict[str, tuple]:
         "match_tiles": (q_match_tiles, sql_match_tiles),
         "tiles_dated": (q_tiles_dated, sql_tiles_dated()),
         "transport_access": (q_transport_access, sql_transport_access()),
+        "access_windows": (q_access_windows, sql_access_windows),
         "timezone": (q_timezone, sql_timezone()),
         "sessionize": (q_sessionize, sql_sessionize()),
         "embed_dups": (q_embed_dups, sql_embed_dups()),

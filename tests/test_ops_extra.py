@@ -324,3 +324,26 @@ def test_conformance_sweep_runner():
         assert m["n"] == 3
         assert m["p50"] >= m["p15"] >= 0
         assert m["throughput_pts_per_s"] > 0
+
+
+def test_lance_flip_readiness(tmp_path, ray_session):
+    """When the container gains the ``lance`` package, write_corpus must
+    emit a Lance dataset and read_corpus must round-trip it with exact
+    span-sequence equality — so the storage flip is a zero-diff event.
+    Skipped (not failed) while lance is absent."""
+    pytest.importorskip("lance")
+    import pyarrow as pa
+
+    from routers_ray.synth import read_corpus, synth_corpus, write_corpus
+
+    tbl = synth_corpus(n_docs=20, seed=5)
+    paths = write_corpus(tbl, str(tmp_path), name="docs")
+    assert "lance" in paths, "lance installed but write_corpus skipped it"
+    back = read_corpus(paths["lance"])
+    got = pa.concat_tables(
+        b for b in back.iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+    want = tbl.sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    # per-row span-sequence equality (kind, text, media_ref, offset)
+    assert got["spans"].to_pylist() == want["spans"].to_pylist()
