@@ -370,7 +370,8 @@ def _weigh_kernel(ctx: "_TrajectoryContext", c_row, c_frac, c_lon, c_lat, loff, 
     nT_b = w[bf + 1]
 
     k = opts.fanout
-    if k is None or int(nT_b.max(initial=0)) <= k:
+    complete = k is None or int(nT_b.max(initial=0)) <= k
+    if complete:
         counts = nF_b * nT_b
         total = int(counts.sum())
         BB = np.repeat(np.arange(n_bounds, dtype=np.int64), counts)
@@ -415,22 +416,51 @@ def _weigh_kernel(ctx: "_TrajectoryContext", c_row, c_frac, c_lon, c_lat, loff, 
 
     root = net.dst_idx[s_row]
     leaf = net.src_idx[t_row]
-    root_lon, root_lat = net.csr.node_lon[root], net.csr.node_lat[root]
-    leaf_lon, leaf_lat = net.csr.node_lon[leaf], net.csr.node_lat[leaf]
-    tail_s = haversine_m(s_lon, s_lat, root_lon, root_lat)
-    tail_t = haversine_m(leaf_lon, leaf_lat, t_lon, t_lat)
-    b_sp = bearing_deg(s_lon, s_lat, root_lon, root_lat)  # s_pos → path[0]
-    b_pt = bearing_deg(leaf_lon, leaf_lat, t_lon, t_lat)  # path[-1] → t_pos
-    b_st = bearing_deg(s_lon, s_lat, t_lon, t_lat)  # direct mid heading
+    n_pairs = FI.size
+    # tails feed route_len for every routed pair; the bearing legs only
+    # for routed NON-adjacent pairs; the direct mid-heading only for
+    # direct/adjacent — compute each on its subset (identical ufunc values
+    # on identical inputs, just gathered) instead of three full-width
+    # passes that are mostly thrown away
+    adjacent = (~direct) & (root == leaf)
+    r_idx = np.flatnonzero(~direct)  # routed (incl. adjacent): tails
+    ra_idx = np.flatnonzero(~direct & ~adjacent)  # routed legs
+    da_idx = np.flatnonzero(direct | adjacent)  # direct-style mid
+    tail_s = np.zeros(n_pairs, dtype=np.float64)
+    tail_t = np.zeros(n_pairs, dtype=np.float64)
+    if r_idx.size:
+        rr = root[r_idx]
+        ll = leaf[r_idx]
+        tail_s[r_idx] = haversine_m(
+            s_lon[r_idx], s_lat[r_idx], net.csr.node_lon[rr], net.csr.node_lat[rr]
+        )
+        tail_t[r_idx] = haversine_m(
+            net.csr.node_lon[ll], net.csr.node_lat[ll], t_lon[r_idx], t_lat[r_idx]
+        )
+    b_sp = np.full(n_pairs, np.nan)
+    b_pt = np.full(n_pairs, np.nan)
+    if ra_idx.size:
+        rr = root[ra_idx]
+        ll = leaf[ra_idx]
+        b_sp[ra_idx] = bearing_deg(
+            s_lon[ra_idx], s_lat[ra_idx], net.csr.node_lon[rr], net.csr.node_lat[rr]
+        )  # s_pos → path[0]
+        b_pt[ra_idx] = bearing_deg(
+            net.csr.node_lon[ll], net.csr.node_lat[ll], t_lon[ra_idx], t_lat[ra_idx]
+        )  # path[-1] → t_pos
+    b_st = np.full(n_pairs, np.nan)
+    if da_idx.size:
+        b_st[da_idx] = bearing_deg(
+            s_lon[da_idx], s_lat[da_idx], t_lon[da_idx], t_lat[da_idx]
+        )  # direct mid heading
 
     h_s = net.heading[s_row]
     h_t = net.heading[t_row]
     cont = net.weight[s_row].astype(np.float64) / net.weight[t_row].astype(np.float64)
 
     # resolve routed paths once per unique (root, leaf)
-    n_pairs = FI.size
     key = (root.astype(np.int64) << np.int64(32)) | leaf.astype(np.int64)
-    routed_idx = np.flatnonzero(~direct)
+    routed_idx = r_idx
     ukeys, inv = np.unique(key[routed_idx], return_inverse=True)
     paths = ctx.paths
     new = [int(kk) for kk in ukeys.tolist() if kk not in paths]
@@ -480,7 +510,6 @@ def _weigh_kernel(ctx: "_TrajectoryContext", c_row, c_frac, c_lon, c_lat, loff, 
     # walk), so their chain is the direct-style [h_s, b_st?, h_t] — NOT
     # s_pos→root / leaf→t_pos legs, which would price a corner turn at the
     # shared node the reference never sees.
-    adjacent = (~direct) & (root == leaf)
     mid = np.where(
         direct | adjacent,
         np.where(straight >= 1.0, b_st, np.nan),
@@ -495,26 +524,30 @@ def _weigh_kernel(ctx: "_TrajectoryContext", c_row, c_frac, c_lon, c_lat, loff, 
     def _step(x):
         # gather/scatter on the valid subset: A/B'd against full-width
         # masked ops (2.01 s vs 1.17 s per 300 docs — the masked variant
-        # loses; deltas are sparse because block headings are often NaN)
-        m = ~np.isnan(x)
-        j = m & ~np.isnan(prev)
-        if j.any():
-            idx = np.flatnonzero(j)
-            d = np.fmod(x[idx] - prev[idx], 360.0)
-            d = np.where(d > 180.0, d - 360.0, d)
-            d = np.where(d <= -180.0, d + 360.0, d)
-            c = np.cos(d * _COS_K)
-            bad = c <= 0.0
-            zero[idx[bad]] = True
-            good = ~bad
-            inv_sum[idx[good]] += 1.0 / np.minimum(c[good], 1.0)
-            cnt[idx] += 1
-        prev[m] = x[m]
+        # loses; deltas are sparse because block headings are often NaN).
+        # prev's NaN check runs on the gathered subset (h_s is NaN only
+        # for degenerate <1 m edges), not full width.
+        idx = np.flatnonzero(~np.isnan(x))
+        if idx.size:
+            pv = prev[idx]
+            ok = ~np.isnan(pv)
+            didx = idx[ok]
+            if didx.size:
+                d = np.fmod(x[didx] - pv[ok], 360.0)
+                d = np.where(d > 180.0, d - 360.0, d)
+                d = np.where(d <= -180.0, d + 360.0, d)
+                c = np.cos(d * _COS_K)
+                bad = c <= 0.0
+                zero[didx[bad]] = True
+                good = ~bad
+                inv_sum[didx[good]] += 1.0 / np.minimum(c[good], 1.0)
+                cnt[didx] += 1
+            prev[idx] = x[idx]
 
-    _step(h_s)
+    prev[:] = h_s  # first chain entry (NaN only for degenerate edges)
     _step(mid)
     has_blk = ~np.isnan(blk_hf)
-    _step(np.where(has_blk, blk_hf, np.nan))
+    _step(blk_hf)  # NaN outside blocks already
     inv_sum += blk_inv
     cnt += blk_cnt
     zero |= blk_zero
@@ -541,6 +574,17 @@ def _weigh_kernel(ctx: "_TrajectoryContext", c_row, c_frac, c_lon, c_lat, loff, 
     bounds = np.searchsorted(BB, np.arange(n_bounds), side="left")
     bounds = np.append(bounds, BB.size)
     mats: dict[int, np.ndarray] = {}
+    if complete:
+        # AllCompute pairs are the full fi-major cross product — the dense
+        # matrix IS a reshape of the flat cost with NO_EDGE holes (one
+        # vectorized where instead of a per-boundary allocate + scatter)
+        full_cost = np.where(reachable, cost, np.int64(NO_EDGE))
+        for i in range(n_bounds):
+            lo, hi = bounds[i], bounds[i + 1]
+            if reachable[lo:hi].any():
+                b = int(bf[i])
+                mats[i] = full_cost[lo:hi].reshape(int(w[b]), int(w[b + 1]))
+        return mats
     for i in range(n_bounds):
         lo, hi = bounds[i], bounds[i + 1]
         r = np.flatnonzero(reachable[lo:hi]) + lo

@@ -607,6 +607,9 @@ class NetworkStore:
         # lineage metrics: window-network cache effectiveness per actor
         self.net_cache_hits = 0
         self.net_cache_misses = 0
+        # anchor cell → sorted 9-cell window (pure function of the anchor;
+        # recomputing the disk + sort per doc showed up in the warm profile)
+        self._window_of: dict[int, tuple] = {}
 
     def _load_cell(self, cell: int) -> pa.Table | None:
         if cell not in self._known:
@@ -718,7 +721,12 @@ class NetworkStore:
         if os.environ.get("ROUTERS_RAY_FORCE_BBOX_KEYING"):  # A/B escape hatch
             return self.network_for_cells(needed, search_radius_m, mode, use_speed)
         anchor = int(cells.lonlat_to_cell(float(lons[0]), float(lats[0]), self.partition_zoom))
-        window = tuple(sorted({int(c) for c in cells.cell_disk(anchor, 1)[0].tolist()}))
+        window = self._window_of.get(anchor)
+        if window is None:
+            window = tuple(sorted({int(c) for c in cells.cell_disk(anchor, 1)[0].tolist()}))
+            if len(self._window_of) > 4096:
+                self._window_of.clear()
+            self._window_of[anchor] = window
         key_cells = window if set(needed) <= set(window) else needed
         hit = (key_cells, search_radius_m, mode, use_speed) in self._networks
         self.net_cache_hits += int(hit)
