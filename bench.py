@@ -124,6 +124,13 @@ def run_bench() -> dict:
     # matched docs/sec (docs fully matched, the BASELINE.json metric)
     n_ok_docs = ok.groupby("doc_id").count().count()
 
+    # the lean route's measured memory criterion (VERDICT r02 #4): the
+    # worst-case resident bytes of one matcher actor's network LRU,
+    # computed from the store manifest inside match_documents
+    from routers_ray.pipelines import match_pipeline as _mp
+
+    route_decision = dict(_mp.last_route_decision or {})
+
     # per-stage execution stats of the headline run (scheduling evidence:
     # wall time should sit in the MatchDocs actor stage, not the plumbing)
     try:
@@ -237,6 +244,12 @@ def run_bench() -> dict:
         "n_tiles": int(n_tiles),
         "matched_docs_per_sec": round(n_ok_docs / t_headline, 2),
         "ann_recall_at_10": ann_recall,
+        "lean_route_decision": route_decision,
+        "hash_vs_lean_ratio": (
+            round(timings["match_hash_routed"] / timings["match_tiles"], 3)
+            if "match_hash_routed" in timings
+            else None
+        ),
     }
     ray.shutdown()
     return result
@@ -303,6 +316,18 @@ def _write_baseline_md(report: dict) -> None:
         "  actor memory profile is what breaks instead).",
         "- round-1 soak: spans kept end to end + salting + hash exchange matched a",
         "  40k-doc corpus (1.30M rows) in 126 s at 32 CPUs.",
+        "",
+        "Route-choice criterion (lean vs hash), a MEASURED decision:",
+        "",
+        "- the lean (unrouted) path bounds each matcher actor's memory at",
+        "  `max_networks × heaviest-9-cell-window edge rows × bytes/row`",
+        "  (`NetworkStore.lean_memory_bound()`, calibrated from a built network's",
+        "  actual array bytes); `match_documents(route='none')` computes it from the",
+        "  store manifest, records it (`last_route_decision`, plain-bench JSON",
+        "  `lean_route_decision`, checkpoint lineage `lean_bound_bytes`) and warns",
+        "  when it exceeds `ROUTERS_RAY_LEAN_ACTOR_BUDGET_BYTES` (default 8 GiB) —",
+        "  at that point the hash route (one cell-set per actor, the reference's",
+        "  one-shard-per-matcher shape) is required at cluster scale.",
         "",
     ]
     with open(path, "w") as f:

@@ -176,6 +176,12 @@ def run_checkpointed(
                 # partition (anchor-cell keying, network.py network_for_doc)
                 "net_cache_hits": pa.array([st.net_cache_hits - h0], pa.int64()),
                 "net_cache_misses": pa.array([st.net_cache_misses - m0], pa.int64()),
+                # worst-case resident bytes of this worker's network LRU
+                # (max_networks x heaviest window x bytes/row) — the
+                # measured criterion the lean-vs-hash route choice uses
+                "lean_bound_bytes": pa.array(
+                    [st.lean_memory_bound()["bound_bytes"]], pa.int64()
+                ),
             }
         )
 

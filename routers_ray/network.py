@@ -424,6 +424,26 @@ class CellNetwork:
         else:
             self.heading = np.empty(0, dtype=np.float64)
 
+    def nbytes(self) -> int:
+        """Resident bytes of this network's arrays (edge columns + CSR +
+        candidate bins) — the per-network term of the lean-route memory
+        bound."""
+        total = 0
+        for arr in (
+            self.edge_id, self.dir, self.src, self.dst, self.weight,
+            self.accessible, self.ax, self.ay, self.bx, self.by,
+            self.src_idx, self.dst_idx, self.heading,
+            self.csr.node_ids, self.csr.node_lon, self.csr.node_lat,
+            self.csr.indptr, self.csr.nbr, self.csr.edge_weight,
+            self.csr.edge_dist_cm, self.csr.edge_id, self.csr.edge_dir,
+            self.csr.edge_accessible,
+        ):
+            if arr is not None:
+                total += int(arr.nbytes)
+        for rows in self._bins.values():
+            total += int(rows.nbytes)
+        return total
+
     def _build_bins(self) -> None:
         if self.edge_id.size == 0:
             return
@@ -630,6 +650,51 @@ class NetworkStore:
                 self._cells.pop(next(iter(self._cells)))
             self._cells[cell] = tbl
         return tbl
+
+    # conservative default when no network has been built yet: measured
+    # ~170-210 B/edge-row on the synth worlds (edge columns + CSR + bins)
+    _DEFAULT_BYTES_PER_EDGE_ROW = 256.0
+
+    def lean_memory_bound(self) -> dict:
+        """Worst-case resident bytes of the LEAN (unrouted) matcher actor.
+
+        The lean path lets every actor page ANY cell's network into its
+        ``max_networks``-deep LRU; the bound is therefore
+        ``max_networks × (heaviest 9-cell window's edge rows) ×
+        bytes/row``, all from the store manifest — the measured criterion
+        the ``route`` choice is made on (reference bar: one shard per
+        matcher process, ``routers_realtime/bin/matcher.rs:234-242``; the
+        hash route restores that shape at cluster scale).
+
+        bytes/row is calibrated from a cached network when one exists,
+        else a documented conservative default.
+        """
+        counts = {int(c): int(n) for c, n in self.manifest["cells"].items()}
+        max_window_rows = 0
+        heaviest_cell = None
+        for c in counts:
+            win = self._window_of.get(c)
+            if win is None:
+                win = tuple(sorted({int(w) for w in cells.cell_disk(c, 1)[0].tolist()}))
+            rows = sum(counts.get(w, 0) for w in win)
+            if rows > max_window_rows:
+                max_window_rows, heaviest_cell = rows, c
+        bytes_per_row = self._DEFAULT_BYTES_PER_EDGE_ROW
+        calibrated = False
+        for net in self._networks.values():
+            if net.edge_id.size:
+                bytes_per_row = net.nbytes() / float(net.edge_id.size)
+                calibrated = True
+                break
+        bound = int(self.max_networks * max_window_rows * bytes_per_row)
+        return {
+            "max_networks": self.max_networks,
+            "max_window_rows": max_window_rows,
+            "heaviest_cell": heaviest_cell,
+            "bytes_per_edge_row": float(bytes_per_row),
+            "calibrated": calibrated,
+            "bound_bytes": bound,
+        }
 
     def cells_for_bbox(self, lon_w, lat_s, lon_e, lat_n, buffer_m: float = 0.0) -> tuple:
         dlon, dlat = cells.meters_to_deg((lat_s + lat_n) / 2.0, buffer_m)

@@ -238,3 +238,50 @@ def test_incremental_poison_doc_becomes_internal_row(world, tmp_path):
     poison = df[df["doc_id"] == "poison"]
     assert poison["status"].tolist() == ["internal"]
     assert (df[df["doc_id"] != "poison"]["status"] == "ok").any()
+
+
+def test_lean_memory_bound_measured(tmp_path, ray_session):
+    """The lean route's worst-case actor memory is computed from the
+    manifest, calibrated from real network bytes once one is built, and
+    surfaced through match_documents' route decision + checkpoint
+    lineage."""
+    import ray.data as rd
+
+    from routers_ray.matcher import MatchOptions
+    from routers_ray.network import NetworkStore, build_network_store
+    from routers_ray.pipelines import match_pipeline
+    from routers_ray.synth import synth_corpus, synth_network
+
+    nodes, edges = synth_network(seed=9, n_cities=1, grid=(8, 8))
+    sd = str(tmp_path / "store")
+    build_network_store(nodes, edges, sd, use_ray=False)
+    store = NetworkStore(sd)
+
+    b0 = store.lean_memory_bound()
+    assert b0["bound_bytes"] > 0 and not b0["calibrated"]
+    assert b0["max_window_rows"] > 0
+    assert b0["bound_bytes"] == int(
+        store.max_networks * b0["max_window_rows"] * b0["bytes_per_edge_row"]
+    )
+
+    # build one network → calibration flips to measured bytes/row
+    opts = MatchOptions()
+    buffer_m = opts.threshold_cm / 100.0 + opts.search_distance_m
+    lon0 = float(np.asarray(nodes["lon"]).mean())
+    lat0 = float(np.asarray(nodes["lat"]).mean())
+    net = store.network_for_doc(
+        np.array([lon0, lon0 + 1e-4]), np.array([lat0, lat0]), buffer_m=buffer_m
+    )
+    assert net.nbytes() > 0
+    b1 = store.lean_memory_bound()
+    assert b1["calibrated"]
+    assert 16 < b1["bytes_per_edge_row"] < 4096  # sane per-row cost
+
+    # match_documents(route="none") records the decision
+    docs = synth_corpus(n_docs=10, seed=9, network=(nodes, edges))
+    out = match_pipeline.match_documents(
+        rd.from_arrow(docs), sd, route="none", salt=False, concurrency=2
+    )
+    out.count()
+    dec = match_pipeline.last_route_decision
+    assert dec is not None and dec["route"] == "none" and dec["bound_bytes"] > 0
