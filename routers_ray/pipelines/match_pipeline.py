@@ -331,6 +331,7 @@ def match_documents(
     route: str = "auto",
     route_blocks: int = 64,
     salt_sample: float = 1.0,
+    salt_map: dict | None = None,
 ):
     """docs Dataset → matched Dataset (status column distinguishes ok/error
     rows). Lazy end to end except the tiny salt pre-pass.
@@ -406,7 +407,14 @@ def match_documents(
     # the match result is partitioning-invariant.
     zoom = store.partition_zoom
     salt_of_cell = None
-    if salt:
+    if salt_map is not None:
+        # precomputed anchor-cell → n_salts map (e.g. persisted from a prior
+        # run of the same corpus family): skips the counting pre-pass — the
+        # salt split only needs ROUGH hotspot counts, and the match result
+        # is partitioning-invariant, so a stale map costs balance, never
+        # correctness
+        salt_of_cell = {int(c): max(1, int(n)) for c, n in salt_map.items()}
+    elif salt:
         pre = docs_ds if salt_sample >= 1.0 else docs_ds.random_sample(salt_sample)
         counts = (
             pre.map_batches(lambda b: first_point_cells(b, zoom), batch_format="pyarrow")

@@ -241,3 +241,46 @@ def test_sort_route_equals_unrouted(world, ray_session):
     a = sorted_r.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
     b = plain.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_salt_map_reuse_matches_pre_pass(ray_session):
+    """A precomputed salt_map skips the counting pre-pass and yields the
+    same matched rows (partitioning-invariance) — the incremental-run path
+    where the hotspot map is persisted across micro-batches."""
+    import ray.data as rd
+
+    from routers_ray.pipelines.match_pipeline import (
+        compute_salts,
+        first_point_cells,
+        match_documents,
+        matched_ok,
+    )
+    from routers_ray.network import build_network_store
+    from routers_ray.synth import synth_corpus, synth_network
+    import tempfile
+
+    nodes, edges = synth_network(seed=21, n_cities=2, grid=(8, 8))
+    docs = synth_corpus(n_docs=60, seed=21, network=(nodes, edges))
+    sd = tempfile.mkdtemp(prefix="saltmap_store_")
+    build_network_store(nodes, edges, sd, use_ray=False)
+
+    ds = rd.from_arrow(docs)
+    from routers_ray.network import NetworkStore
+
+    zoom = NetworkStore(sd).partition_zoom
+    pre = ds.map_batches(lambda b: first_point_cells(b, zoom), batch_format="pyarrow")
+    salt_map = compute_salts(pre, target_docs_per_salt=10)
+
+    a = matched_ok(
+        match_documents(rd.from_arrow(docs), sd, salt=True, target_docs_per_salt=10,
+                        route="none", concurrency=2)
+    ).to_pandas()
+    b = matched_ok(
+        match_documents(rd.from_arrow(docs), sd, salt=True, salt_map=salt_map,
+                        route="none", concurrency=2)
+    ).to_pandas()
+    key = ["doc_id", "seq"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a["edge_id"].tolist() == b["edge_id"].tolist()
+    assert a["cost"].tolist() == b["cost"].tolist()
