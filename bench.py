@@ -42,14 +42,16 @@ def _bench_world(n_docs: int):
     import routers_ray.synth as synth
     from routers_ray.network import build_network_store, synth_network
 
-    root = f"/tmp/routers_ray_bench_{BENCH_SEED}_{n_docs}"
+    root = f"/tmp/routers_ray_bench_{BENCH_SEED}_{n_docs}_sharded"
     marker = os.path.join(root, "DONE")
     if not os.path.exists(marker):
         os.makedirs(root, exist_ok=True)
         nodes, edges = synth_network(seed=BENCH_SEED, n_cities=3, grid=(14, 14))
         build_network_store(nodes, edges, os.path.join(root, "netstore"), use_ray=False)
         docs = synth.synth_corpus(n_docs=n_docs, seed=BENCH_SEED, network=(nodes, edges))
-        synth.write_corpus(docs, os.path.join(root, "corpus"))
+        # sharded corpus: a single parquet blob decodes in ONE task and
+        # serially gates the 32-CPU leg (~17 s of 52 s measured)
+        synth.write_corpus(docs, os.path.join(root, "corpus"), n_files=64)
         with open(marker, "w") as f:
             f.write("ok")
     return root
@@ -169,7 +171,12 @@ def run_bench() -> dict:
                 keep_spans=False,
                 route="hash",
                 salt=True,
-                target_docs_per_salt=300,
+                # round-3 interleaved A/B: coarse salts + fewer route blocks
+                # cut the single-node exchange ratio from ~2.5-2.7x to
+                # ~1.7-2.2x lean (fine 300-doc salts overpartition an 8k-doc
+                # corpus; 64 blocks over-fragment the aggregator outputs)
+                target_docs_per_salt=1000,
+                route_blocks=32,
             )
             matched_ok(mh).count()
             timings["match_hash_routed"] = round(time.perf_counter() - t0, 3)

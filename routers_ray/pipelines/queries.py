@@ -986,6 +986,135 @@ def sql_embed_dups_lsh() -> str:
     )
 
 
+def q_ann_ivf_planted(sf_dir: str):
+    """IVF-Flat approximate top-10 (coarse k-means quantizer + nprobe
+    inverted-list search — the second scale path next to LSH) over the
+    planted cluster world; probing the true cluster's centroid recovers
+    the exact top-k, so the result equals the independent scalar
+    recomputation behind ``ann_lsh_planted``."""
+    import ray.data as rd
+
+    from ..oracle_match import planted_embedding_corpus
+    from ..sim import ann_ivf_topk
+
+    tbl, mat = planted_embedding_corpus()
+    n_q = 5
+    return ann_ivf_topk(
+        rd.from_arrow(tbl), mat[:n_q], np.arange(n_q, dtype=np.int64),
+        k=10, n_centroids=24, nprobe=6,
+    )
+
+
+def sql_ann_ivf_planted() -> str:
+    from ..oracle_match import planted_ann_expected_path
+
+    return (
+        "SELECT query_id, vec_id, sim FROM "
+        f"read_parquet('{planted_ann_expected_path()}')"
+    )
+
+
+def q_asof_orders(sf_dir: str):
+    """Distributed as-of join: each event joins the LATEST order of its
+    user at-or-before the event time (the reference-free custom operator
+    the task calls out — composed as union + bucket-hash groupby +
+    vectorized per-bucket ``merge_asof``; one shuffle, C-speed merge).
+
+    Ties on (user, date) are broken deterministically (max o_orderkey)
+    on both engines."""
+    import pandas as pd
+    import ray.data as rd
+
+    n_buckets = 32
+    ev = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    od = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def _ev(b: pa.Table) -> pa.Table:
+        key = pc.cast(b["user_id"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "t": pc.cast(b["ts"], pa.int64()),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "o_orderkey": pa.nulls(len(b), pa.int64()),
+                "side": pa.array(np.zeros(len(b), dtype=np.int8), pa.int8()),
+                "bucket": pa.array(
+                    (np.asarray(key, dtype=np.int64) % n_buckets), pa.int64()
+                ),
+            }
+        )
+
+    def _od(b: pa.Table) -> pa.Table:
+        key = pc.cast(b["o_custkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "t": pc.cast(b["o_orderdate"], pa.int64()),
+                "event_id": pa.nulls(len(b), pa.int64()),
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "side": pa.array(np.ones(len(b), dtype=np.int8), pa.int8()),
+                "bucket": pa.array(
+                    (np.asarray(key, dtype=np.int64) % n_buckets), pa.int64()
+                ),
+            }
+        )
+
+    both = ev.map_batches(_ev, batch_format="pyarrow").union(
+        od.map_batches(_od, batch_format="pyarrow")
+    )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0][["key", "t", "event_id"]]
+        o = g[g["side"] == 1][["key", "t", "o_orderkey"]]
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "order_ts": pd.Series([], dtype="int64"),
+            }
+        )
+        if e.empty or o.empty:
+            return empty
+        # all orders for a key co-locate in its bucket, so the per-(key, t)
+        # max-orderkey tie-break is globally correct here
+        o = o.groupby(["key", "t"], as_index=False)["o_orderkey"].max()
+        o["order_ts"] = o["t"]  # survive the asof (merge consumes `t`)
+        e = e.sort_values("t", kind="mergesort")
+        o = o.sort_values("t", kind="mergesort")
+        m = pd.merge_asof(e, o, on="t", by="key", direction="backward")
+        m = m.dropna(subset=["o_orderkey"])
+        if m.empty:
+            return empty
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "o_orderkey": m["o_orderkey"].astype("int64"),
+                "order_ts": m["order_ts"].astype("int64"),
+            }
+        )
+
+    out = both.groupby("bucket").map_groups(_merge, batch_format="pandas")
+    return out
+
+
+def sql_asof_orders() -> str:
+    return """
+    WITH o AS (
+      SELECT o_custkey AS key, CAST(epoch_us(o_orderdate) AS BIGINT) AS ots,
+             MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT event_id, user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS ets
+      FROM events
+    )
+    SELECT e.event_id, o.o_orderkey, o.ots AS order_ts
+    FROM e ASOF JOIN o ON e.key = o.key AND e.ets >= o.ots
+    """
+
+
 def q_embed_norms(sf_dir: str):
     """Per-label embedding count + exact-integer L2-norm sums."""
     import ray.data as rd
@@ -1781,7 +1910,9 @@ def registry() -> dict[str, tuple]:
         "ann_topk": (q_ann_topk, sql_ann_topk()),
         "ann_lsh": (q_ann_lsh, None),
         "ann_lsh_planted": (q_ann_lsh_planted, sql_ann_lsh_planted),
+        "ann_ivf_planted": (q_ann_ivf_planted, sql_ann_ivf_planted),
         "embed_dups_lsh": (q_embed_dups_lsh, sql_embed_dups_lsh),
+        "asof_orders": (q_asof_orders, sql_asof_orders()),
         "embed_norms": (q_embed_norms, sql_embed_norms()),
         "media_features": (q_media_features, sql_media_features()),
         # sql side is a LAZY callable (expected-parquet generation is paid

@@ -318,3 +318,88 @@ def embed_dups_lsh(
         )
 
     return with_b.map_batches(_verify, batch_format="pyarrow")
+
+
+def kmeans_fit(sample: np.ndarray, n_centroids: int, seed: int = 7, iters: int = 8) -> np.ndarray:
+    """Seeded Lloyd k-means on a driver-side sample — the IVF coarse
+    quantizer. Deterministic: init = first distinct rows after a seeded
+    shuffle; empty clusters re-seeded from the farthest points."""
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(sample.shape[0])[: max(n_centroids * 8, n_centroids)]
+    pts = sample[idx]
+    cents = pts[:n_centroids].copy()
+    for _ in range(iters):
+        d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cents[c] = pts[m].mean(axis=0)
+            else:
+                far = d2.min(axis=1).argmax()
+                cents[c] = pts[far]
+    return cents
+
+
+def ann_ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+                 n_centroids: int = 16, nprobe: int = 4, seed: int = 7,
+                 sample_rows: int = 4096,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """IVF approximate top-k: coarse k-means quantizer → per-batch inverted
+    assignment → exact cosine only against vectors whose centroid is among
+    each query's ``nprobe`` nearest (the classic IVF-Flat shape; the
+    centroid table broadcasts once, batches never leave their task).
+
+    Same schema and (sim_r desc, id asc) ranking as :func:`ann_brute_topk`.
+    Recall is governed by nprobe/n_centroids; on separable corpora probing
+    the true cluster's centroid recovers the exact top-k."""
+    first = ds.take_batch(min(sample_rows, 4096), batch_format="pyarrow")
+    sample = _stack_embeddings(first[vec_col])
+    cents = kmeans_fit(sample, n_centroids, seed)
+
+    def _nearest_cent(vecs: np.ndarray) -> np.ndarray:
+        d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1)
+
+    q_probe = np.argsort(
+        ((queries[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), axis=1
+    )[:, :nprobe]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vecs = _stack_embeddings(batch[vec_col])
+        if vecs.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        cell = _nearest_cent(vecs)
+        outs = []
+        for qi in range(queries.shape[0]):
+            m = np.isin(cell, q_probe[qi])
+            if not m.any():
+                continue
+            part = batch.take(pa.array(np.flatnonzero(m)))
+            outs.append(cosine_topk_partial(
+                part, queries[qi : qi + 1], query_ids[qi : qi + 1], k, id_col, vec_col
+            ))
+        if not outs:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.concat_tables(outs)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    pdf = partials.to_pandas()
+    if len(pdf) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    pdf["sim_r"] = np.floor(pdf["sim"] * 1e6 + 0.5) / 1e6
+    pdf = pdf.sort_values(["query_id", "sim_r", id_col], ascending=[True, False, True])
+    out = pdf.groupby("query_id", sort=True).head(k)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].to_numpy(), pa.int64()),
+            id_col: pa.array(out[id_col].to_numpy(), pa.int64()),
+            "sim": pa.array(out["sim_r"].to_numpy(), pa.float64()),
+        }
+    )

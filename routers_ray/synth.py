@@ -140,14 +140,32 @@ def synth_corpus(
     return pa.Table.from_pydict({"doc_id": doc_ids, "spans": spans_rows}, schema=DOCS_SCHEMA)
 
 
-def write_corpus(tbl: pa.Table, out_dir: str, name: str = "documents") -> dict[str, str]:
+def write_corpus(
+    tbl: pa.Table, out_dir: str, name: str = "documents", n_files: int = 1
+) -> dict[str, str]:
     """Write the corpus as Parquet (always) and Lance (when available —
     the north rule names Lance tables; this container lacks the lance
-    package, so Parquet is the storage mirror and Lance is gated)."""
+    package, so Parquet is the storage mirror and Lance is gated).
+
+    ``n_files > 1`` writes a DIRECTORY of part files instead of one blob —
+    a single-file corpus decodes in ONE read task and serially gates every
+    downstream stage (measured: 17 s of a 52 s pipeline at 32 CPUs);
+    sharded parquet is also the resumable-output layout the north rule
+    asks for."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
     pq_path = os.path.join(out_dir, f"{name}.parquet")
-    pq.write_table(tbl, pq_path)
+    if n_files <= 1:
+        pq.write_table(tbl, pq_path)
+    else:
+        os.makedirs(pq_path, exist_ok=True)
+        n = tbl.num_rows
+        step = (n + n_files - 1) // n_files
+        for i in range(0, n_files):
+            part = tbl.slice(i * step, step)
+            if part.num_rows == 0:
+                break
+            pq.write_table(part, os.path.join(pq_path, f"part-{i:05d}.parquet"))
     paths["parquet"] = pq_path
     try:  # pragma: no cover — lance not installed in this container
         import lance

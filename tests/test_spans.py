@@ -152,3 +152,27 @@ def test_geojson_trace_loader(tmp_path):
     parsed = parse_trajectories(docs)
     assert parsed["n_pts"].to_pylist() == [2]
     assert np.asarray(parsed["pts_lon"].to_pylist()[0]).tolist() == lons.tolist()
+
+
+def test_write_corpus_sharded_roundtrip(tmp_path, ray_session):
+    """n_files > 1 writes a directory of part files whose union equals the
+    single-blob corpus row-for-row (the parallel-read layout bench uses)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from routers_ray.synth import synth_corpus, write_corpus
+
+    tbl = synth_corpus(n_docs=50, seed=4)
+    p1 = write_corpus(tbl, str(tmp_path / "one"))["parquet"]
+    pN = write_corpus(tbl, str(tmp_path / "many"), n_files=8)["parquet"]
+    import os
+
+    assert os.path.isdir(pN) and len(os.listdir(pN)) == 8
+    a = pa.concat_tables(
+        b for b in rd.read_parquet(p1).iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+    b = pa.concat_tables(
+        t for t in rd.read_parquet(pN).iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["spans"].to_pylist() == b["spans"].to_pylist()
