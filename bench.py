@@ -42,7 +42,8 @@ def _bench_world(n_docs: int):
     import routers_ray.synth as synth
     from routers_ray.network import build_network_store, synth_network
 
-    root = f"/tmp/routers_ray_bench_{BENCH_SEED}_{n_docs}_sharded"
+    n_files = int(os.environ.get("GRAFT_BENCH_NFILES", "16"))
+    root = f"/tmp/routers_ray_bench_{BENCH_SEED}_{n_docs}_f{n_files}"
     marker = os.path.join(root, "DONE")
     if not os.path.exists(marker):
         os.makedirs(root, exist_ok=True)
@@ -50,8 +51,10 @@ def _bench_world(n_docs: int):
         build_network_store(nodes, edges, os.path.join(root, "netstore"), use_ray=False)
         docs = synth.synth_corpus(n_docs=n_docs, seed=BENCH_SEED, network=(nodes, edges))
         # sharded corpus: a single parquet blob decodes in ONE task and
-        # serially gates the 32-CPU leg (~17 s of 52 s measured)
-        synth.write_corpus(docs, os.path.join(root, "corpus"), n_files=64)
+        # serially gates the 32-CPU leg (~17 s of 52 s measured); too many
+        # tiny shards instead tax the 8-CPU leg with per-file decode
+        # overhead — 16 is the measured middle
+        synth.write_corpus(docs, os.path.join(root, "corpus"), n_files=n_files)
         with open(marker, "w") as f:
             f.write("ok")
     return root
