@@ -127,6 +127,60 @@ int64_t bounded_dijkstra_c(
     }
     return n_settled;
 }
+
+/* Viterbi forward + backtrack over dense int64 boundary matrices
+   (INF_W-substituted, row-major |from| x |to|). Pure integer arithmetic —
+   bit-identical to the NumPy path by construction (same first-occurrence
+   argmin tie-breaks). Returns best cost, or -1 if the last layer is all
+   >= inf_w. */
+int64_t viterbi_c(
+    const int64_t *widths, int64_t L,
+    const int64_t *mats, const int64_t *mat_offs,
+    const int64_t *node_w, const int64_t *nw_offs,
+    int64_t inf_w,
+    int64_t *out_nodes, int64_t *dist /* scratch, sum(widths) */
+) {
+    /* forward */
+    const int64_t w0 = widths[0];
+    for (int64_t j = 0; j < w0; j++) dist[j] = node_w[j];
+    for (int64_t i = 0; i + 1 < L; i++) {
+        const int64_t nF = widths[i], nT = widths[i + 1];
+        const int64_t *mat = mats + mat_offs[i];
+        const int64_t *cur = dist + nw_offs[i];
+        const int64_t *nw = node_w + nw_offs[i + 1];
+        int64_t *nxt = dist + nw_offs[i + 1];
+        for (int64_t j = 0; j < nT; j++) {
+            int64_t best = cur[0] + mat[j];
+            for (int64_t k = 1; k < nF; k++) {
+                int64_t v = cur[k] + mat[k * nT + j];
+                if (v < best) best = v;
+            }
+            nxt[j] = (best < inf_w) ? best + nw[j] : best;
+        }
+    }
+    /* backtrack */
+    const int64_t wl = widths[L - 1];
+    const int64_t *last = dist + nw_offs[L - 1];
+    int64_t chosen = 0;
+    for (int64_t j = 1; j < wl; j++) if (last[j] < last[chosen]) chosen = j;
+    int64_t best_cost = last[chosen];
+    if (best_cost >= inf_w) return -1;
+    out_nodes[L - 1] = chosen;
+    for (int64_t i = L - 2; i >= 0; i--) {
+        const int64_t nF = widths[i], nT = widths[i + 1];
+        const int64_t *mat = mats + mat_offs[i];
+        const int64_t *cur = dist + nw_offs[i];
+        int64_t bi = 0;
+        int64_t bv = cur[0] + mat[chosen];
+        for (int64_t k = 1; k < nF; k++) {
+            int64_t v = cur[k] + mat[k * nT + chosen];
+            if (v < bv) { bv = v; bi = k; }
+        }
+        chosen = bi;
+        out_nodes[i] = chosen;
+    }
+    return best_cost;
+}
 """
 
 
@@ -154,6 +208,15 @@ def _build() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        fv = lib.viterbi_c
+        fv.restype = ctypes.c_int64
+        fv.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
         ]
         return lib
     except Exception:
@@ -224,3 +287,46 @@ def bounded_dijkstra_c(csr, root: int, threshold_cm: float):
     dists = dict(zip(nodes, ds))
     parents = {k: v for k, v in zip(nodes, pars) if v >= 0}
     return parents, dists
+
+
+def viterbi_solve_c(trellis):
+    """C-kernel Viterbi (forward min-plus + backtrack) — bit-identical to
+    :func:`routers_ray.trellis.viterbi_solve` (integer arithmetic, same
+    first-occurrence argmin tie-breaks). Returns (nodes, cost); raises the
+    same errors. Caller guarantees all boundaries resolved."""
+    import numpy as np
+
+    from .trellis import INF_W, NotResolvedError, UnreachableError
+
+    for i, b in enumerate(trellis.boundaries):
+        if b is None:
+            raise NotResolvedError(i)
+    widths = np.asarray(trellis.widths, dtype=np.int64)
+    L = widths.size
+    nw_offs = np.concatenate(([0], np.cumsum(widths))).astype(np.int64)
+    node_w = (
+        np.concatenate(trellis.node_weights).astype(np.int64)
+        if L
+        else np.empty(0, np.int64)
+    )
+    if L > 1:
+        mats = np.concatenate([b.ravel() for b in trellis.boundaries]).astype(np.int64)
+        mat_offs = np.concatenate(
+            ([0], np.cumsum([b.size for b in trellis.boundaries]))
+        ).astype(np.int64)
+    else:
+        mats = np.empty(0, np.int64)
+        mat_offs = np.zeros(1, np.int64)
+    out_nodes = np.empty(L, dtype=np.int64)
+    dist = np.empty(int(nw_offs[-1]), dtype=np.int64)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    cost = _LIB.viterbi_c(
+        p(widths), L, p(mats), p(mat_offs), p(node_w), p(nw_offs),
+        int(INF_W), p(out_nodes), p(dist),
+    )
+    if cost < 0:
+        raise UnreachableError()
+    return out_nodes, int(cost)

@@ -149,7 +149,21 @@ def viterbi_solve(trellis: Trellis) -> tuple[np.ndarray, int]:
 
     Tie-breaks replicate the reference exactly: lowest final node, lowest
     predecessor node (``viterbi.rs:124-162``).
+
+    Dispatches to the compiled integer min-plus kernel when the optional
+    C toolchain is present — bit-identical (pure int64 arithmetic, same
+    first-occurrence argmins; A/B-pinned in tests) — else the NumPy path.
     """
+    if len(trellis.widths) > 0:
+        from ._ckernels import have_ckernel, viterbi_solve_c
+
+        if have_ckernel():
+            return viterbi_solve_c(trellis)
+    return viterbi_solve_py(trellis)
+
+
+def viterbi_solve_py(trellis: Trellis) -> tuple[np.ndarray, int]:
+    """The NumPy reference implementation (kernel A/B partner)."""
     dist = _forward(trellis)
     last = dist[-1]
     final_node = int(np.argmin(last))

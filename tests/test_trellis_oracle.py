@@ -153,3 +153,50 @@ def test_inf_does_not_propagate():
     nodes, cost = viterbi_solve(t)
     assert list(nodes) == [0, 0, 0] and cost == 6
     assert INF_W > MAX_WEIGHT
+
+
+def test_c_viterbi_exactly_matches_python():
+    """The compiled min-plus kernel equals the NumPy Viterbi bit-for-bit
+    (nodes + cost + Unreachable) over random trellises with ties, gaps
+    and single-layer cases."""
+    import pytest
+
+    from routers_ray._ckernels import have_ckernel, viterbi_solve_c
+    from routers_ray.trellis import (
+        INF_W,
+        MAX_WEIGHT,
+        NO_EDGE,
+        Trellis,
+        UnreachableError,
+        viterbi_solve_py,
+    )
+
+    if not have_ckernel():
+        pytest.skip("no C toolchain")
+    rng = np.random.default_rng(41)
+    for trial in range(60):
+        L = int(rng.integers(1, 9))
+        widths = [int(rng.integers(1, 7)) for _ in range(L)]
+        t = Trellis.new(widths)
+        for i, w in enumerate(widths):
+            t.fill_nodes(i, rng.integers(0, 50, w))
+        for b in range(L - 1):
+            mat = rng.integers(0, 40, (widths[b], widths[b + 1])).astype(np.int64)
+            # ties + unreachable holes
+            mat[rng.random(mat.shape) < 0.3] = mat.min() if mat.size else 0
+            mat[rng.random(mat.shape) < 0.2] = int(NO_EDGE)
+            t.fill_transition(b, mat)
+        try:
+            pn, pc_ = viterbi_solve_py(t)
+            perr = None
+        except UnreachableError:
+            pn = pc_ = perr = "unreachable"
+        try:
+            cn, cc = viterbi_solve_c(t)
+            cerr = None
+        except UnreachableError:
+            cn = cc = cerr = "unreachable"
+        assert perr == cerr, f"trial {trial}"
+        if perr is None:
+            assert pn.tolist() == cn.tolist(), f"trial {trial}"
+            assert pc_ == cc, f"trial {trial}"
