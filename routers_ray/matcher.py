@@ -59,6 +59,10 @@ from .trellis import (
 DEFAULT_FANOUT = 16  # weigh/selective.rs:20
 _COS_K = math.pi / 180.0 * 0.8  # COST_DAMPING compression (entity.rs:271-276)
 
+# dispatch flag for the compiled per-pair cost kernel (tests force the
+# NumPy path by flipping this to A/B the two)
+_USE_WEIGH_CKERNEL = True
+
 
 @dataclass
 class MatchOptions:
@@ -510,6 +514,23 @@ def _weigh_kernel(ctx: "_TrajectoryContext", c_row, c_frac, c_lon, c_lat, loff, 
     # walk), so their chain is the direct-style [h_s, b_st?, h_t] — NOT
     # s_pos→root / leaf→t_pos legs, which would price a corner turn at the
     # shared node the reference never sees.
+    if _USE_WEIGH_CKERNEL:
+        from . import _ckernels as _ck
+
+        if _ck.have_ckernel():
+            # compiled per-pair fold+combine — bit-identical (libm ufuncs
+            # verified == numpy's on this platform; A/B-pinned in
+            # tests/test_advice_fixes.py::test_c_weigh_cost_matches_numpy)
+            cost = _ck.weigh_cost_c(
+                h_s, b_st, b_sp, b_pt, blk_hf, blk_hl, blk_inv,
+                blk_zero.astype(np.uint8), blk_cnt, h_t,
+                straight, i_len, tail_s, tail_t,
+                direct.astype(np.uint8), adjacent.astype(np.uint8),
+                np.ascontiguousarray(cont), int(MAX_WEIGHT), _COS_K,
+            )
+            return _pack_boundary_mats(
+                cost, reachable, complete, BB, FI, TI, bf, w, loff, n_bounds
+            )
     mid = np.where(
         direct | adjacent,
         np.where(straight >= 1.0, b_st, np.nan),
@@ -569,8 +590,12 @@ def _weigh_kernel(ctx: "_TrajectoryContext", c_row, c_frac, c_lon, c_lat, loff, 
         np.clip(dev, 1e-6, 1.0) * np.clip(turn, 1e-6, 1.0) * np.clip(cont, 1e-6, 1.0)
     )
     cost = np.minimum((100.0 / np.clip(score, 1e-6, 1.0)).astype(np.int64), MAX_WEIGHT)
+    return _pack_boundary_mats(cost, reachable, complete, BB, FI, TI, bf, w, loff, n_bounds)
 
-    # per-boundary dense matrices (BB sorted by construction)
+
+def _pack_boundary_mats(cost, reachable, complete, BB, FI, TI, bf, w, loff, n_bounds):
+    """Flat per-pair costs → {boundary → dense int64 matrix} (BB sorted
+    by construction; all-unreachable boundaries stay pending)."""
     bounds = np.searchsorted(BB, np.arange(n_bounds), side="left")
     bounds = np.append(bounds, BB.size)
     mats: dict[int, np.ndarray] = {}

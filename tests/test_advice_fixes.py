@@ -406,3 +406,60 @@ def test_c_kernel_huge_weights_match_python():
         pc_, dc = bounded_dijkstra_c(csr, root, 1e12)
         assert dp == dc
         assert pp == pc_
+
+
+def test_c_weigh_cost_matches_numpy():
+    """The compiled per-pair cost kernel produces BIT-IDENTICAL match
+    results (edges, costs, hop geometry) to the NumPy fold across random
+    synth worlds — libm's cos/sqrt/fmod equal numpy's float64 ufuncs on
+    this platform and the accumulation order is preserved."""
+    import tempfile
+
+    import routers_ray.matcher as M
+    from routers_ray._ckernels import have_ckernel
+    from routers_ray.network import NetworkStore, build_network_store
+    from routers_ray.synth import synth_corpus, synth_network
+
+    if not have_ckernel():
+        pytest.skip("no C toolchain")
+    nodes, edges = synth_network(seed=33, n_cities=2, grid=(10, 10))
+    corpus = synth_corpus(n_docs=40, seed=33, network=(nodes, edges))
+    sd = tempfile.mkdtemp(prefix="weighc_store_")
+    build_network_store(nodes, edges, sd, use_ray=False)
+    from routers_ray.spans import parse_trajectories
+
+    parsed = parse_trajectories(corpus)
+    opts = M.MatchOptions()
+    buffer_m = opts.threshold_cm / 100.0 + opts.search_distance_m
+
+    def run_all():
+        store = NetworkStore(sd)
+        out = []
+        for i in range(parsed.num_rows):
+            lons = np.asarray(parsed["pts_lon"][i].as_py(), dtype=np.float64)
+            lats = np.asarray(parsed["pts_lat"][i].as_py(), dtype=np.float64)
+            if lons.size < 2:
+                continue
+            net = store.network_for_doc(lons, lats, buffer_m=buffer_m)
+            try:
+                r = M.match_trajectory(net, lons, lats, opts)
+                out.append(
+                    (
+                        r.cost,
+                        [(m.edge_id, m.direction, m.snap_lon, m.snap_lat,
+                          m.hop_lons.tolist()) for m in r.layers],
+                    )
+                )
+            except M.MatchError as e:
+                out.append(("err", e.kind))
+        return out
+
+    old = M._USE_WEIGH_CKERNEL
+    try:
+        M._USE_WEIGH_CKERNEL = True
+        a = run_all()
+        M._USE_WEIGH_CKERNEL = False
+        b = run_all()
+    finally:
+        M._USE_WEIGH_CKERNEL = old
+    assert a == b
