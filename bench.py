@@ -216,6 +216,47 @@ def run_bench() -> dict:
             res.count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # warm per-core matcher throughput (the single-core criterion NOTES
+    # tracks): match 300 docs twice in-process, report the warm pass
+    percore = None
+    if not scaling_child:
+        try:
+            import pyarrow.parquet as _papq
+
+            from routers_ray.matcher import MatchOptions as _MO
+            from routers_ray.matcher import match_trajectory as _mt
+            from routers_ray.network import NetworkStore as _NS
+            from routers_ray.spans import parse_trajectories as _pt
+
+            _tbl = rd.read_parquet(
+                os.path.join(world, "corpus", "documents.parquet")
+            ).take_batch(300, batch_format="pyarrow")
+            _parsed = _pt(_tbl)
+            _store = _NS(os.path.join(world, "netstore"))
+            _opts = _MO()
+            _buf = _opts.threshold_cm / 100.0 + _opts.search_distance_m
+            _trajs = []
+            for i in range(_parsed.num_rows):
+                _lo = __import__("numpy").asarray(_parsed["pts_lon"][i].as_py())
+                _la = __import__("numpy").asarray(_parsed["pts_lat"][i].as_py())
+                if _lo.size >= 2:
+                    _trajs.append((_lo, _la))
+
+            def _run():
+                for _lo, _la in _trajs:
+                    _net = _store.network_for_doc(_lo, _la, buffer_m=_buf)
+                    try:
+                        _mt(_net, _lo, _la, _opts)
+                    except Exception:
+                        pass
+
+            _run()  # cold pass warms caches
+            _t0 = time.perf_counter()
+            _run()
+            percore = round(len(_trajs) / (time.perf_counter() - _t0), 1)
+        except Exception:
+            pass
+
     # ANN quality datapoint: multi-table multi-probe LSH recall vs brute
     ann_recall = None
     if not scaling_child:
@@ -254,6 +295,7 @@ def run_bench() -> dict:
         "n_tiles": int(n_tiles),
         "matched_docs_per_sec": round(n_ok_docs / t_headline, 2),
         "ann_recall_at_10": ann_recall,
+        "percore_warm_docs_per_sec": percore,
         "lean_route_decision": route_decision,
         "hash_vs_lean_ratio": (
             round(timings["match_hash_routed"] / timings["match_tiles"], 3)
