@@ -780,10 +780,10 @@ class NetworkStore:
         window keying the more faithful extent; the golden test pins the
         observed equality on this corpus, not a general invariant.
         """
-        needed = self.cells_for_bbox(
-            float(lons.min()), float(lats.min()), float(lons.max()), float(lats.max()), buffer_m
-        )
+        lon_w, lat_s = float(lons.min()), float(lats.min())
+        lon_e, lat_n = float(lons.max()), float(lats.max())
         if os.environ.get("ROUTERS_RAY_FORCE_BBOX_KEYING"):  # A/B escape hatch
+            needed = self.cells_for_bbox(lon_w, lat_s, lon_e, lat_n, buffer_m)
             return self.network_for_cells(needed, search_radius_m, mode, use_speed)
         anchor = int(cells.lonlat_to_cell(float(lons[0]), float(lats[0]), self.partition_zoom))
         window = self._window_of.get(anchor)
@@ -792,7 +792,27 @@ class NetworkStore:
             if len(self._window_of) > 4096:
                 self._window_of.clear()
             self._window_of[anchor] = window
-        key_cells = window if set(needed) <= set(window) else needed
+        # geometric fast path: the buffered bbox inside the window's ground
+        # bounds ⟹ the covering cell set is a subset of the window — skip
+        # enumerating it (the per-doc Morton covering showed in the warm
+        # profile). Conservative: wrap/clamp edge cases fall through to the
+        # exact subset check below.
+        ax, ay, az = (int(v[0]) for v in cells.cell_decode(np.asarray([anchor], np.uint64)))
+        dlon, dlat = cells.meters_to_deg((lat_s + lat_n) / 2.0, buffer_m)
+        n_side = 1 << az
+        fits = False
+        if 0 < ax < n_side - 1 and 0 < ay < n_side - 1:
+            w_lon_w, w_lat_s, _, _ = (float(v) for v in cells.tile_bounds(ax - 1, ay + 1, az))
+            _, _, w_lon_e, w_lat_n = (float(v) for v in cells.tile_bounds(ax + 1, ay - 1, az))
+            fits = (
+                lon_w - dlon >= w_lon_w and lon_e + dlon <= w_lon_e
+                and lat_s - dlat >= w_lat_s and lat_n + dlat <= w_lat_n
+            )
+        if fits:
+            key_cells = window
+        else:
+            needed = self.cells_for_bbox(lon_w, lat_s, lon_e, lat_n, buffer_m)
+            key_cells = window if set(needed) <= set(window) else needed
         hit = (key_cells, search_radius_m, mode, use_speed) in self._networks
         self.net_cache_hits += int(hit)
         self.net_cache_misses += int(not hit)
