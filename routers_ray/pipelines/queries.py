@@ -1014,6 +1014,158 @@ def sql_ann_ivf_planted() -> str:
     )
 
 
+def q_sample_stratified(sf_dir: str):
+    """Deterministic stratified sampling — the dataset-curation primitive:
+    per-language keep rates applied by content hash (md5 of doc_id, the
+    engine-portable hash both sides share), so the sample is exactly
+    reproducible across engines, runs and partitionings. Per-batch filter
+    + partial counts; only (lang, n) rows shuffle."""
+    import hashlib
+
+    import ray.data as rd
+
+    rates = {"en": 40, "de": 80, "fr": 20}  # percent kept per stratum
+    default_rate = 60
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        langs = b["lang"].to_pylist()
+        h = np.asarray(
+            [
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "little") % 100
+                for i in ids
+            ],
+            dtype=np.int64,
+        )
+        th = np.asarray([rates.get(l, default_rate) for l in langs], dtype=np.int64)
+        keep = h < th
+        kl = [l for l, k in zip(langs, keep.tolist()) if k]
+        if not kl:
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "n_sampled": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(kl, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array([str(u) for u in uniq], pa.string()),
+                "n_sampled": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_partial, batch_format="pyarrow").groupby("lang").sum("n_sampled")
+    return out.map_batches(
+        lambda t: t.rename_columns(["lang", "n_sampled"]), batch_format="pyarrow"
+    )
+
+
+def sql_sample_stratified() -> str:
+    # md5_number_upper == little-endian first 8 digest bytes as u64 (the
+    # repo-wide token-hash convention, NOTES.md) — matches
+    # int.from_bytes(d[:8], "little") on the engine side
+    return """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 <
+          CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 80 WHEN 'fr' THEN 20 ELSE 60 END
+    GROUP BY lang
+    """
+
+
+def q_group_topk(sf_dir: str):
+    """Grouped top-k: each customer's 2 highest-price orders (ties to the
+    lowest orderkey) — per-batch partial top-2 per customer bounds the
+    shuffle at 2 rows/customer/batch, bucket-hash groupby + one vectorized
+    pandas pass finishes (no per-customer Python bodies)."""
+    import pandas as pd
+    import ray.data as rd
+
+    k = 2
+    n_buckets = 16
+    ds = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.groupby("o_custkey", sort=False).head(k)
+        df["bucket"] = (df["o_custkey"].to_numpy() % n_buckets).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = g.groupby("o_custkey", sort=False).head(k).copy()
+        out["rk"] = out.groupby("o_custkey", sort=False).cumcount() + 1
+        return out[["o_custkey", "o_orderkey", "o_totalprice", "rk"]].astype(
+            {"o_custkey": "int64", "o_orderkey": "int64", "rk": "int64"}
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def sql_group_topk() -> str:
+    return """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 2
+    """
+
+
+def q_value_percentiles(sf_dir: str):
+    """Per-event-type nearest-rank percentiles (p50/p95 of value) — the
+    conformance-metrics selection rule (``metrics.rs:30-74``) as a grouped
+    aggregate; nearest-rank picks an EXACT element so the oracle compare
+    is exact."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+
+    def _grp(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        n = v.size
+
+        def nr(q):
+            return float(v[max(int(np.ceil(q * n)) - 1, 0)])
+
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [nr(0.5)],
+                "p95": [nr(0.95)],
+                "n": [np.int64(n)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(_grp, batch_format="pandas")
+
+
+def sql_value_percentiles() -> str:
+    return """
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.95) AS p95,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """
+
+
 def q_asof_orders(sf_dir: str):
     """Distributed as-of join: each event joins the LATEST order of its
     user at-or-before the event time (the reference-free custom operator
@@ -1913,6 +2065,9 @@ def registry() -> dict[str, tuple]:
         "ann_ivf_planted": (q_ann_ivf_planted, sql_ann_ivf_planted),
         "embed_dups_lsh": (q_embed_dups_lsh, sql_embed_dups_lsh),
         "asof_orders": (q_asof_orders, sql_asof_orders()),
+        "sample_stratified": (q_sample_stratified, sql_sample_stratified()),
+        "group_topk": (q_group_topk, sql_group_topk()),
+        "value_percentiles": (q_value_percentiles, sql_value_percentiles()),
         "embed_norms": (q_embed_norms, sql_embed_norms()),
         "media_features": (q_media_features, sql_media_features()),
         # sql side is a LAZY callable (expected-parquet generation is paid
