@@ -1014,6 +1014,82 @@ def sql_ann_ivf_planted() -> str:
     )
 
 
+def q_range_join(sf_dir: str):
+    """Interval/range self-join: per event, the number of the SAME user's
+    events in the following hour (ts, ts + 1 h] — the inequality-join
+    shape a relational engine needs beyond equi-joins. One bucket-hash
+    shuffle (the ``asof_orders`` pattern); inside each bucket the range
+    count is two C-speed ``merge_asof`` rank lookups (per-key cumulative
+    event index at the window's endpoints), never a nested loop."""
+    import pandas as pd
+    import ray.data as rd
+
+    n_buckets = 32
+    hour_us = 3_600_000_000
+    ev = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def _ev(b: pa.Table) -> pa.Table:
+        key = pc.cast(b["user_id"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "t": pc.cast(b["ts"], pa.int64()),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "bucket": pa.array(
+                    (np.asarray(key, dtype=np.int64) % n_buckets), pa.int64()
+                ),
+            }
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[["key", "t", "event_id"]].sort_values(
+            ["key", "t"], kind="mergesort"
+        ).reset_index(drop=True)
+        e["cum"] = e.groupby("key", sort=False).cumcount() + 1
+        er = (
+            e[["key", "t", "cum"]]
+            .rename(columns={"t": "q"})
+            .sort_values("q", kind="mergesort")
+        )
+        # rank(≤ endpoint): backward asof with exact matches allowed
+        lo = e.assign(q=e["t"]).sort_values("q", kind="mergesort")
+        hi = e.assign(q=e["t"] + hour_us).sort_values("q", kind="mergesort")
+        m_lo = pd.merge_asof(
+            lo, er, on="q", by="key", direction="backward", allow_exact_matches=True
+        )
+        m_hi = pd.merge_asof(
+            hi, er, on="q", by="key", direction="backward", allow_exact_matches=True
+        )
+        n = (
+            m_hi.set_index("event_id")["cum_y"].fillna(0)
+            - m_lo.set_index("event_id")["cum_y"].fillna(0)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": n.index.astype("int64"),
+                "n_next_hour": n.to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(_ev, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+def sql_range_join() -> str:
+    return """
+    SELECT a.event_id,
+           CAST(COUNT(b.event_id) AS BIGINT) AS n_next_hour
+    FROM events a LEFT JOIN events b
+      ON b.user_id = a.user_id
+     AND CAST(epoch_us(b.ts) AS BIGINT) > CAST(epoch_us(a.ts) AS BIGINT)
+     AND CAST(epoch_us(b.ts) AS BIGINT) <= CAST(epoch_us(a.ts) AS BIGINT) + 3600000000
+    GROUP BY a.event_id
+    """
+
+
 def q_sample_stratified(sf_dir: str):
     """Deterministic stratified sampling — the dataset-curation primitive:
     per-language keep rates applied by content hash (md5 of doc_id, the
@@ -2065,6 +2141,7 @@ def registry() -> dict[str, tuple]:
         "ann_ivf_planted": (q_ann_ivf_planted, sql_ann_ivf_planted),
         "embed_dups_lsh": (q_embed_dups_lsh, sql_embed_dups_lsh),
         "asof_orders": (q_asof_orders, sql_asof_orders()),
+        "range_join": (q_range_join, sql_range_join()),
         "sample_stratified": (q_sample_stratified, sql_sample_stratified()),
         "group_topk": (q_group_topk, sql_group_topk()),
         "value_percentiles": (q_value_percentiles, sql_value_percentiles()),
