@@ -222,3 +222,63 @@ def test_s2_parent_contains_child_property(lon, lat, level):
     child = S2Strategy(level).locate(np.asarray([lon]), np.asarray([lat]))
     parent = S2Strategy(level - 1).locate(np.asarray([lon]), np.asarray([lat]))
     assert np.array_equal(S2Strategy(level).parent(child), parent)
+
+
+_DAY_TOKENS = ["Mo", "Tu", "We", "Th", "Fr", "Sa", "Su"]
+_MON_TOKENS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+               "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+@given(
+    da=st.integers(0, 6), db=st.integers(0, 6),
+    ma=st.integers(0, 11), mb=st.integers(0, 11),
+    h1=st.integers(0, 23), m1=st.integers(0, 59),
+    h2=st.integers(0, 23), m2=st.integers(0, 59),
+    use_months=st.booleans(), use_days=st.booleans(), use_time=st.booleans(),
+    value=st.booleans(),
+    probe_day=st.integers(0, 365), probe_min=st.integers(0, 1439),
+)
+@settings(max_examples=250, deadline=None)
+def test_access_grammar_matches_datetime_brute(
+    da, db, ma, mb, h1, m1, h2, m2, use_months, use_days, use_time, value,
+    probe_day, probe_min,
+):
+    """Random month-range × weekday-range × time-window conditionals agree
+    with a per-timestamp datetime recomputation (wrapping ranges included)."""
+    import datetime as dt
+
+    from routers_ray.access import evaluate, parse_access
+
+    parts = []
+    if use_months:
+        parts.append(f"{_MON_TOKENS[ma]}-{_MON_TOKENS[mb]}")
+    if use_days:
+        parts.append(f"{_DAY_TOKENS[da]}-{_DAY_TOKENS[db]}")
+    if use_time:
+        parts.append(f"{h1:02d}:{m1:02d}-{h2:02d}:{m2:02d}")
+    if not parts:
+        parts = ["Mo-Su"]
+    expr = f"{'yes' if value else 'no'} @ ({' '.join(parts)})"
+    rule = parse_access(expr)
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    t = base + dt.timedelta(days=probe_day, minutes=probe_min)
+    ts = int(t.timestamp() * 1_000_000)
+    got = bool(evaluate(rule, np.asarray([ts]))[0])
+
+    def wrap_in(i, a, b, n):
+        # membership of i in the a..b range that wraps modulo n
+        return (a <= i <= b) if a <= b else (i >= a or i <= b)
+
+    ok = True
+    if use_months:
+        ok &= wrap_in(t.month - 1, ma, mb, 12)
+    if use_days:
+        ok &= wrap_in(t.weekday(), da, db, 7)
+    minute = t.hour * 60 + t.minute
+    s, e = h1 * 60 + m1, h2 * 60 + m2
+    if use_time:
+        ok &= (s <= minute < e) if e >= s else (minute >= s or minute < e)
+    # no explicit day/time token → all days / all minutes (parse defaults)
+    expected = value if ok else (not value)
+    assert got == expected, expr
