@@ -277,6 +277,24 @@ def embed_dups_lsh(
     deduped = cand.groupby(["id_a", "id_b"]).count().map_batches(
         lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
     )
+    # Ray's hash join cannot take a 0-row left side (its empty partitions
+    # lose the schema and Acero rejects the key) — and a zero-pair corpus
+    # is exactly that. The pair set is small BY DESIGN (bucket-capped), so
+    # materialize it in the object store (vectors still never materialize)
+    # and short-circuit the empty case with a typed empty result.
+    import ray.data as rd
+
+    deduped = deduped.materialize()
+    if deduped.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     packed = ds.map_batches(
         lambda b: _pack_embeddings(b, id_col, vec_col), batch_format="pyarrow"

@@ -484,6 +484,24 @@ def dedup_minhash(
     deduped = cand.groupby(["doc_a", "doc_b"]).count().map_batches(
         lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
+    # Ray's hash join cannot take a 0-row left side (its empty partitions
+    # lose the schema and Acero rejects the key) — and a zero-pair corpus
+    # is exactly that. The pair set is small BY DESIGN (bucket-capped), so
+    # materialize it in the object store (texts still never materialize)
+    # and short-circuit the empty case with a typed empty result.
+    import ray.data as rd
+
+    deduped = deduped.materialize()
+    if deduped.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     docs_proj = ds.map_batches(
         lambda b: pa.table(

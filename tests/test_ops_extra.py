@@ -347,3 +347,67 @@ def test_lance_flip_readiness(tmp_path, ray_session):
     assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
     # per-row span-sequence equality (kind, text, media_ref, offset)
     assert got["spans"].to_pylist() == want["spans"].to_pylist()
+
+
+def test_dated_tiles_shuffle_empty_input(ray_session):
+    """merge='shuffle' on a dataset whose DatedRange filter drops every
+    row yields an empty, well-typed Dataset (no schema loss)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from routers_ray.tiles import DatedRange, materialize_dated_tiles
+
+    pts = pa.table(
+        {
+            "lon": pa.array([10.0]),
+            "lat": pa.array([20.0]),
+            "ts_us": pa.array([1704187200000000], pa.int64()),  # 2024-01-02
+        }
+    )
+    r = DatedRange.parse("1999-01-01", "1999-01-31", "0-1-2-3-4-5-6")
+    out = materialize_dated_tiles(rd.from_arrow(pts), [7], [r], merge="shuffle")
+    assert out.count() == 0
+
+
+def test_kmeans_fit_degenerate_sample():
+    """n_centroids >= sample size collapses gracefully (no crash, finite
+    centroids) — the IVF quantizer on tiny corpora."""
+    from routers_ray.sim import kmeans_fit
+
+    sample = np.asarray([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    cents = kmeans_fit(sample, n_centroids=3, seed=1)
+    assert cents.shape == (3, 2) and np.isfinite(cents).all()
+
+
+def test_embed_dups_lsh_empty_dataset(ray_session):
+    """No vectors → no pairs, schema intact through the join chain."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from routers_ray.sim import embed_dups_lsh
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([7], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0, 0.0]], pa.list_(pa.float64())),
+        }
+    )
+    out = embed_dups_lsh(rd.from_arrow(tbl), threshold=0.95)
+    assert out.count() == 0
+
+
+def test_dedup_minhash_no_candidate_pairs(ray_session):
+    """A corpus with no co-bucketed docs yields zero pairs without killing
+    the join chain on a schema-less empty block."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from routers_ray.text import dedup_minhash
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["only one document here"], pa.string()),
+        }
+    )
+    assert dedup_minhash(rd.from_arrow(tbl)).count() == 0
