@@ -2014,6 +2014,10 @@ def q_ngram_jaccard(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    if ds.count() == 0:  # Ray's hash join rejects a 0-row left side
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())}
+        )
 
     def _seed(b: pa.Table) -> pa.Table:
         ids = pc.cast(b["doc_id"], pa.int64())
