@@ -142,7 +142,11 @@ def _parse_times(tok: str) -> list[tuple[int, int]]:
             ranges.append((_parse_minute(a), _parse_minute(b)))
         else:
             start = _parse_minute(part)
-            ranges.append((start, (start + 60) % 1440 or 1440))
+            # A point ending exactly at midnight maps to end=00:00 (an
+            # overnight range), matching Time::new(hour+1, …) in the
+            # reference (opening_hours.rs:276-283): the end-inclusive
+            # overnight check then also matches minute 0.
+            ranges.append((start, (start + 60) % 1440))
     return ranges
 
 

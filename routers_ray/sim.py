@@ -345,6 +345,12 @@ def kmeans_fit(sample: np.ndarray, n_centroids: int, seed: int = 7, iters: int =
     rng = np.random.default_rng(seed)
     idx = rng.permutation(sample.shape[0])[: max(n_centroids * 8, n_centroids)]
     pts = sample[idx]
+    if pts.shape[0] == 0:
+        raise ValueError("kmeans_fit needs a non-empty sample")
+    # fewer sample rows than requested centroids collapses gracefully to
+    # one centroid per row (the reseed loop would otherwise index past
+    # the short init slice)
+    n_centroids = min(n_centroids, pts.shape[0])
     cents = pts[:n_centroids].copy()
     for _ in range(iters):
         d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)

@@ -291,7 +291,8 @@ def dated_tile_partials(
         # x/y get 20 bits each in the packed group key below; deeper zooms
         # would silently alias tiles (date occupies bits 40..63: 24 bits,
         # enough for any yymmdd < 2^20)
-        assert z <= 20, f"dated_tile_partials supports zoom <= 20, got {z}"
+        if z > 20:  # not an assert: -O must not strip the aliasing guard
+            raise ValueError(f"dated_tile_partials supports zoom <= 20, got {z}")
         x, y = lonlat_to_tile(lon, lat, z)
         key = (
             (date.astype(np.uint64) << np.uint64(40))

@@ -379,8 +379,48 @@ def test_dated_partials_zoom_bound():
             "ts_us": pa.array([1704187200000000], pa.int64()),
         }
     )
-    with pytest.raises(AssertionError):
+    # ValueError, not AssertionError: the guard must survive python -O
+    with pytest.raises(ValueError):
         dated_tile_partials(pts, [21])
+
+
+# ---------------------------------------------------------------------------
+# round-4 ADVICE fixes
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_more_centroids_than_sample():
+    """n_centroids > sample rows collapses to one centroid per row instead
+    of IndexError-ing in the empty-cluster reseed loop (ADVICE r03 #1)."""
+    from routers_ray.sim import kmeans_fit
+
+    sample = np.asarray([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    cents = kmeans_fit(sample, n_centroids=16, seed=1)
+    assert cents.shape == (3, 2) and np.isfinite(cents).all()
+    with pytest.raises(ValueError):
+        kmeans_fit(np.empty((0, 2)), n_centroids=4)
+
+
+def test_opening_hours_point_at_midnight_wrap():
+    """'Mo 23:00' spans 23:00-24:00 as an overnight range ending at 00:00,
+    so the end-inclusive check also matches minute 0 of the same weekday
+    (opening_hours.rs:276-283; ADVICE r03 #3)."""
+    from routers_ray.access import parse_opening_hours
+
+    oh = parse_opening_hours("Mo 23:00")
+    jan6_mon_2025 = 20094  # days since epoch, a Monday
+    us = 86_400_000_000
+
+    def ts(day, minute):
+        return np.int64(day) * us + np.int64(minute) * 60_000_000
+
+    out = oh.is_open_at(
+        np.array([ts(jan6_mon_2025, 23 * 60 + 30),  # Mo 23:30 — open
+                  ts(jan6_mon_2025, 0),             # Mo 00:00 — minute 0 matches
+                  ts(jan6_mon_2025, 22 * 60),       # Mo 22:00 — closed
+                  ts(jan6_mon_2025 + 1, 0)])        # Tu 00:00 — wrong weekday
+    )
+    assert out.tolist() == [True, True, False, False]
 
 
 def test_c_kernel_huge_weights_match_python():
