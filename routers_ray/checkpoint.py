@@ -234,35 +234,69 @@ def reconcile(stored_ts: list[int], incoming_ts: list[int]) -> tuple[str, int]:
     return ("restart", 0)
 
 
-def incremental_match(
-    docs_tbl: pa.Table,
-    store_path: str,
-    state_dir: str,
+N_STATE_SHARDS = 16  # default key-group count for the sharded trip state
+
+
+def _emit_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("seq", pa.int32()),
+            ("status", pa.string()),
+            ("edge_id", pa.int64()),
+            ("dir", pa.uint8()),
+            ("src", pa.int64()),
+            ("dst", pa.int64()),
+            ("snap_lon", pa.float64()),
+            ("snap_lat", pa.float64()),
+            ("cost", pa.uint32()),
+            ("cell", pa.uint64()),
+            ("action", pa.string()),
+            ("revision", pa.uint64()),
+        ]
+    )
+
+
+def _state_shard_path(state_dir: str, shard: int) -> str:
+    return os.path.join(state_dir, f"shard={int(shard):05d}.parquet")
+
+
+def _load_state_shard(state_dir: str, shard: int) -> dict[str, list[int]]:
+    p = _state_shard_path(state_dir, shard)
+    if not os.path.exists(p):
+        return {}
+    tbl = pq.read_table(p)
+    return dict(zip(tbl["doc_id"].to_pylist(), tbl["ts"].to_pylist()))
+
+
+def _write_state_shard(state_dir: str, shard: int, state: dict[str, list[int]]) -> None:
+    """Atomic per-shard state write (temp + rename, like the partition
+    outputs)."""
+    docs = sorted(state)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(docs, pa.string()),
+            "ts": pa.array([state[d] for d in docs], pa.list_(pa.int64())),
+        }
+    )
+    p = _state_shard_path(state_dir, shard)
+    tmp = p + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, p)
+
+
+def _match_shard_docs(
+    parsed: pa.Table,
+    store,
+    opts: MatchOptions,
+    state: dict[str, list[int]],
     revision_epoch: int,
-    options: MatchOptions | None = None,
+    context_window: int,
 ) -> pa.Table:
-    """Micro-batch incremental matching with per-doc trip state.
-
-    State = per-doc matched ts-list (bounded to the last CONTEXT_WINDOW
-    points — the ``Trip::tail`` window). New arrivals reconcile against it:
-    skip / resume (re-match the overlap window + new points, emit only new
-    seqs) / restart (re-match everything). Emitted rows carry
-    ``revision = revision_epoch``; merge with :func:`merge_revisions`.
-    """
-    opts = options or MatchOptions()
-    store = get_store(store_path)
-    os.makedirs(state_dir, exist_ok=True)
-    state_path = os.path.join(state_dir, "trips.json")
-    state: dict[str, list[int]] = {}
-    if os.path.exists(state_path):
-        with open(state_path) as f:
-            state = json.load(f)
-
+    """Per-shard incremental core: reconcile each doc against its stored
+    trip ts-list, match, emit new layers, update ``state`` in place."""
     from .cells import lonlat_to_cell
     from .matcher import MatchError, match_trajectory
-
-    parsed = parse_trajectories(docs_tbl)
-    parsed = anchor_batch(parsed, store.partition_zoom, None)
 
     def _flat(name):
         col = parsed[name]
@@ -289,7 +323,7 @@ def incremental_match(
             # solves may revise earlier window layers, and the revision
             # merge keeps the newest per (doc, seq)
             first_new = n_overlap
-            window_start = max(0, first_new - CONTEXT_WINDOW)
+            window_start = max(0, first_new - context_window)
             emit_from = window_start
         else:
             window_start = 0
@@ -312,7 +346,7 @@ def incremental_match(
             o_eid.append(None), o_dir.append(None), o_src.append(None), o_dst.append(None)
             o_slon.append(None), o_slat.append(None), o_cost.append(None), o_cell.append(None)
             o_action.append(action)
-            state[doc] = ts[-CONTEXT_WINDOW * 3 :]
+            state[doc] = ts[-context_window * 3 :]
             continue
         for m in res.layers:
             seq = m.seq + window_start  # global layer index
@@ -325,12 +359,7 @@ def incremental_match(
             o_cost.append(res.cost)
             o_cell.append(int(lonlat_to_cell(m.snap_lon, m.snap_lat, 15)))
             o_action.append(action)
-        state[doc] = ts[-CONTEXT_WINDOW * 3 :]  # history tail ×3 (orchestrator.rs:501)
-
-    tmp = state_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-    os.replace(tmp, state_path)
+        state[doc] = ts[-context_window * 3 :]  # history tail ×3 (orchestrator.rs:501)
 
     n = len(o_doc)
     return pa.table(
@@ -348,15 +377,113 @@ def incremental_match(
             "cell": pa.array(o_cell, pa.uint64()),
             "action": pa.array(o_action, pa.string()),
             "revision": pa.array([revision_epoch] * n, pa.uint64()),
-        }
+        },
+        schema=_emit_schema(),
     )
 
 
-def merge_revisions(tbl: pa.Table) -> pa.Table:
-    """Emission merge: per (doc_id, seq) keep the max-revision row
-    (``event.rs:100-112``)."""
-    import pandas as pd
+def incremental_match(
+    docs_tbl,
+    store_path: str,
+    state_dir: str,
+    revision_epoch: int,
+    options: MatchOptions | None = None,
+    n_state_shards: int = N_STATE_SHARDS,
+) -> pa.Table:
+    """Micro-batch incremental matching with SHARDED per-doc trip state.
 
-    df = tbl.to_pandas()
-    df = df.sort_values(["doc_id", "seq", "revision"]).groupby(["doc_id", "seq"], as_index=False).last()
-    return pa.Table.from_pandas(df, preserve_index=False)
+    State = per-doc matched ts-list (bounded to the last CONTEXT_WINDOW
+    points — the ``Trip::tail`` window), sharded into ``n_state_shards``
+    key groups by ``splitmix64(fnv1a(doc_id)) % shards`` — the reference's
+    own vehicle→partition scheme (``partition.rs:39-45``). The key is
+    geometry-independent on purpose: a trajectory's anchor cell drifts as
+    points arrive (resume batches start mid-history), so (cell, salt)
+    keying would orphan trip state whenever a doc crosses a cell boundary
+    between micro-batches. Each shard's Parquet state file is loaded and
+    atomically rewritten ONLY inside that shard's ``map_groups`` task —
+    the driver never holds the whole state, so the streaming path scales
+    with shards like the batch checkpoint path does with partitions.
+
+    New arrivals reconcile against stored state: skip / resume (re-match
+    the overlap window + new points, emit only new seqs) / restart
+    (re-match everything). Emitted rows carry ``revision =
+    revision_epoch``; merge with :func:`merge_revisions`.
+
+    Accepts a pyarrow Table (micro-batch) or a ray.data.Dataset.
+    """
+    import ray.data as rd
+
+    opts = options or MatchOptions()
+    os.makedirs(state_dir, exist_ok=True)
+    ds = docs_tbl if hasattr(docs_tbl, "map_batches") else rd.from_arrow(docs_tbl)
+    # capture at call time so a caller-adjusted CONTEXT_WINDOW reaches the
+    # shard tasks (module globals re-import fresh in workers)
+    window = CONTEXT_WINDOW
+    opts_dict = {
+        "search_distance_m": opts.search_distance_m,
+        "emission_error_m": opts.emission_error_m,
+        "threshold_cm": opts.threshold_cm,
+        "fanout": opts.fanout,
+        "drop_unanchored": opts.drop_unanchored,
+    }
+    shards = int(n_state_shards)
+
+    from .functions import fnv1a_array, partition_of
+
+    def _prep(b: pa.Table) -> pa.Table:
+        parsed = parse_trajectories(b)
+        shard = partition_of(fnv1a_array(parsed["doc_id"].to_pylist()), shards)
+        return parsed.append_column(
+            "state_shard", pa.array(shard.astype(np.int32), pa.int32())
+        )
+
+    def _shard_group(group: pa.Table) -> pa.Table:
+        shard = int(group["state_shard"][0].as_py())
+        state = _load_state_shard(state_dir, shard)
+        st = get_store(store_path)
+        out = _match_shard_docs(
+            group, st, MatchOptions(**opts_dict), state, revision_epoch, window
+        )
+        _write_state_shard(state_dir, shard, state)
+        return out
+
+    res = ds.map_batches(_prep, batch_format="pyarrow").groupby("state_shard").map_groups(
+        _shard_group, batch_format="pyarrow"
+    )
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in res.iter_batches(batch_format="pyarrow")
+    ]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return _emit_schema().empty_table()
+    return pa.concat_tables(tables).combine_chunks()
+
+
+def merge_revisions(tbl) -> pa.Table:
+    """Emission merge: per (doc_id, seq) keep the max-revision row
+    (``event.rs:100-112``), as a distributed
+    ``groupby([doc_id, seq]).map_groups(max revision)`` — SURVEY §2.7's
+    shape — so the merge never gathers the emission table on the driver.
+
+    Accepts a pyarrow Table or a ray.data.Dataset; returns a Table (the
+    per-micro-batch contract) — pass a Dataset and large merges stay
+    distributed until the caller consumes them.
+    """
+    import ray.data as rd
+
+    ds = tbl if hasattr(tbl, "map_batches") else rd.from_arrow(tbl)
+
+    def _newest(group: pa.Table) -> pa.Table:
+        rev = group["revision"].to_numpy(zero_copy_only=False)
+        return group.slice(int(np.argmax(rev)), 1)
+
+    out = ds.groupby(["doc_id", "seq"]).map_groups(_newest, batch_format="pyarrow")
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in out.iter_batches(batch_format="pyarrow")
+    ]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return _emit_schema().empty_table()
+    return pa.concat_tables(tables).combine_chunks()
