@@ -85,6 +85,19 @@ def run_bench() -> dict:
     from routers_ray.tiles import materialize_tiles
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    # the machine swings far more than ±30% under a co-tenant (identical
+    # binaries measured 5.9-17.8 s on cell_assign within an hour —
+    # BASELINE.md "variance pinning"), so the two actor-pool-heavy
+    # measurements run N times in-process and report the MEDIAN (plus all
+    # samples), instead of a single tenancy-lottery draw
+    N_REPS = int(os.environ.get("GRAFT_BENCH_REPS", "1" if scaling_child else "3"))
 
     # warm the page cache (measure compute + shuffle, not first disk read)
     rd.read_parquet(os.path.join(world, "corpus", "documents.parquet")).count()
@@ -98,33 +111,40 @@ def run_bench() -> dict:
     out_dir = os.path.join("/tmp", f"routers_ray_bench_out_{NUM_CPUS}")
     import shutil
 
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    ds = rd.read_parquet(
-        os.path.join(world, "corpus", "documents.parquet"),
-        override_num_blocks=max(NUM_CPUS * 4, 32),
-    )
-    matched = match_documents(
-        ds,
-        os.path.join(world, "netstore"),
-        concurrency=(pool, pool),
-        batch_size=32,
-        keep_spans=False,
-        # single node: no routing exchange — matcher actors page networks
-        # via their LRU; the "hash" route is the multi-node path (see
-        # match_pipeline.match_documents route param)
-        route="none",
-        salt=False,
-    )
-    ok_stream = matched_ok(matched)
-    ok_stream.write_parquet(out_dir)
-    # prune at the read: the tile stage needs 4 of the 13 written columns
-    # (hop_path dominates row bytes and stays on disk)
-    ok = rd.read_parquet(out_dir, columns=["doc_id", "seq", "snap_lon", "snap_lat"])
-    tiles = materialize_tiles(ok, zooms=[10, 13, 15])
-    n_tiles = tiles.num_rows
-    t_headline = time.perf_counter() - t0
+    def _headline_once() -> tuple[float, object, int]:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(
+            os.path.join(world, "corpus", "documents.parquet"),
+            override_num_blocks=max(NUM_CPUS * 4, 32),
+        )
+        matched = match_documents(
+            ds,
+            os.path.join(world, "netstore"),
+            concurrency=(pool, pool),
+            batch_size=32,
+            keep_spans=False,
+            # single node: no routing exchange — matcher actors page networks
+            # via their LRU; the "hash" route is the multi-node path (see
+            # match_pipeline.match_documents route param)
+            route="none",
+            salt=False,
+        )
+        ok_stream = matched_ok(matched)
+        ok_stream.write_parquet(out_dir)
+        # prune at the read: the tile stage needs 4 of the 13 written columns
+        # (hop_path dominates row bytes and stays on disk)
+        ok = rd.read_parquet(out_dir, columns=["doc_id", "seq", "snap_lon", "snap_lat"])
+        tiles = materialize_tiles(ok, zooms=[10, 13, 15])
+        return time.perf_counter() - t0, ok_stream, tiles.num_rows
+
+    samples["match_tiles"] = []
+    for _rep in range(N_REPS):
+        t_rep, ok_stream, n_tiles = _headline_once()
+        samples["match_tiles"].append(round(t_rep, 3))
+    t_headline = _median(samples["match_tiles"])
     timings["match_tiles"] = round(t_headline, 3)
+    ok = rd.read_parquet(out_dir, columns=["doc_id", "seq", "snap_lon", "snap_lat"])
 
     # matched docs/sec (docs fully matched, the BASELINE.json metric)
     n_ok_docs = ok.groupby("doc_id").count().count()
@@ -162,27 +182,30 @@ def run_bench() -> dict:
             # tasks — an actor pool + aggregators exceeding the CPU count
             # deadlocks the exchange (observed at 8 CPUs: 6 + 4 > 8)
             pool_h = max(2, min(int(NUM_CPUS * 0.75), NUM_CPUS - 4 - 2))
-            t0 = time.perf_counter()
-            mh = match_documents(
-                rd.read_parquet(
-                    os.path.join(world, "corpus", "documents.parquet"),
-                    override_num_blocks=max(NUM_CPUS * 4, 32),
-                ),
-                os.path.join(world, "netstore"),
-                concurrency=(pool_h, pool_h),
-                batch_size=32,
-                keep_spans=False,
-                route="hash",
-                salt=True,
-                # round-3 interleaved A/B: coarse salts + fewer route blocks
-                # cut the single-node exchange ratio from ~2.5-2.7x to
-                # ~1.7-2.2x lean (fine 300-doc salts overpartition an 8k-doc
-                # corpus; 64 blocks over-fragment the aggregator outputs)
-                target_docs_per_salt=1000,
-                route_blocks=32,
-            )
-            matched_ok(mh).count()
-            timings["match_hash_routed"] = round(time.perf_counter() - t0, 3)
+            samples["match_hash_routed"] = []
+            for _rep in range(N_REPS):
+                t0 = time.perf_counter()
+                mh = match_documents(
+                    rd.read_parquet(
+                        os.path.join(world, "corpus", "documents.parquet"),
+                        override_num_blocks=max(NUM_CPUS * 4, 32),
+                    ),
+                    os.path.join(world, "netstore"),
+                    concurrency=(pool_h, pool_h),
+                    batch_size=32,
+                    keep_spans=False,
+                    route="hash",
+                    salt=True,
+                    # round-3 interleaved A/B: coarse salts + fewer route blocks
+                    # cut the single-node exchange ratio from ~2.5-2.7x to
+                    # ~1.7-2.2x lean (fine 300-doc salts overpartition an 8k-doc
+                    # corpus; 64 blocks over-fragment the aggregator outputs)
+                    target_docs_per_salt=1000,
+                    route_blocks=32,
+                )
+                matched_ok(mh).count()
+                samples["match_hash_routed"].append(round(time.perf_counter() - t0, 3))
+            timings["match_hash_routed"] = round(_median(samples["match_hash_routed"]), 3)
         finally:
             ctx.shuffle_strategy = prev_strategy
             ctx.max_hash_shuffle_aggregators = prev_aggs
@@ -251,9 +274,15 @@ def run_bench() -> dict:
                         pass
 
             _run()  # cold pass warms caches
-            _t0 = time.perf_counter()
-            _run()
-            percore = round(len(_trajs) / (time.perf_counter() - _t0), 1)
+            # best of N warm passes — the per-core number is a capability
+            # criterion (what the core CAN do), so co-tenant-stolen passes
+            # shouldn't mask it
+            _best = float("inf")
+            for _rep in range(max(1, N_REPS)):
+                _t0 = time.perf_counter()
+                _run()
+                _best = min(_best, time.perf_counter() - _t0)
+            percore = round(len(_trajs) / _best, 1)
         except Exception:
             pass
 
@@ -288,6 +317,11 @@ def run_bench() -> dict:
         "value": timings["match_tiles"],
         "unit": "sec",
         "queries": timings,
+        # per-rep samples for the noise-sensitive actor-pool measurements
+        # (value above is the median; min shows the machine's capability)
+        "samples": samples,
+        "value_min": min(samples["match_tiles"]),
+        "n_reps": N_REPS,
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "n_docs": n_docs,
