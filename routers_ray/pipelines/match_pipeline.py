@@ -209,17 +209,48 @@ def match_batch(
     doc_ids = batch["doc_id"].to_pylist()
     spans_col = batch["spans"] if keep_spans and "spans" in batch.column_names else None
 
-    # output accumulators. Hop geometry stays FLAT (numpy parts + per-row
-    # lengths) and becomes one ListArray at the end — no per-point dicts
-    # (the round-1 hot-path allocation sink: O(points) Python objects).
-    o_doc, o_seq, o_status = [], [], []
-    o_eid, o_dir, o_src, o_dst = [], [], [], []
-    o_slon, o_slat, o_cost, o_cell = [], [], [], []
-    hop_parts_lon: list = []  # np arrays, concatenated once
+    # output accumulators, SEGMENT-oriented (one segment per doc: L ok rows
+    # or 1 error row). Every scalar column accumulates numpy parts and is
+    # concatenated ONCE — no per-row Python appends in the hot path (the
+    # r03 verdict's O(points) append sink), and the final Arrow arrays are
+    # built zero-copy from numpy instead of element-wise from Python lists.
+    # Hop geometry stays FLAT as before (numpy parts + per-row lengths).
+    seg_doc_idx: list[int] = []  # batch row index of each segment's doc
+    seg_count: list[int] = []  # rows this segment emits
+    seg_status: list[str] = []  # "ok" or the error kind
+    seq_parts: list[np.ndarray] = []
+    eid_parts: list[np.ndarray] = []
+    dir_parts: list[np.ndarray] = []
+    src_parts: list[np.ndarray] = []
+    dst_parts: list[np.ndarray] = []
+    slon_parts: list[np.ndarray] = []
+    slat_parts: list[np.ndarray] = []
+    cost_parts: list[np.ndarray] = []
+    cell_parts: list[np.ndarray] = []
+    valid_parts: list[np.ndarray] = []  # False → scalar columns null (error row)
+    hop_parts_lon: list = []  # np arrays, concatenated once (ok rows only)
     hop_parts_lat: list = []
-    hop_len: list = []  # per output row; -1 → null hop (error rows)
-    o_err: list = []
-    o_span_row: list = []
+    hop_len_parts: list[np.ndarray] = []  # per row; -1 → null hop (error rows)
+    err_layer_lists: list[list[int]] = []  # one entry per ERROR segment
+
+    _ERR_SEQ = np.asarray([-1], np.int32)
+    _ERR_I64 = np.zeros(1, np.int64)
+    _ERR_U8 = np.zeros(1, np.uint8)
+    _ERR_F64 = np.zeros(1, np.float64)
+    _ERR_U32 = np.zeros(1, np.uint32)
+    _ERR_U64 = np.zeros(1, np.uint64)
+    _ERR_HOP = np.asarray([-1], np.int64)
+    _INVALID = np.zeros(1, bool)
+
+    def _error_segment(i: int, kind: str, layers: list[int]) -> None:
+        seg_doc_idx.append(i), seg_count.append(1), seg_status.append(kind)
+        seq_parts.append(_ERR_SEQ)
+        eid_parts.append(_ERR_I64), dir_parts.append(_ERR_U8)
+        src_parts.append(_ERR_I64), dst_parts.append(_ERR_I64)
+        slon_parts.append(_ERR_F64), slat_parts.append(_ERR_F64)
+        cost_parts.append(_ERR_U32), cell_parts.append(_ERR_U64)
+        valid_parts.append(_INVALID), hop_len_parts.append(_ERR_HOP)
+        err_layer_lists.append(layers)
 
     buffer_m = opts.threshold_cm / 100.0 + opts.search_distance_m
 
@@ -227,10 +258,7 @@ def match_batch(
         lo, hi = offs[i], offs[i + 1]
         ll, la = lon_v[lo:hi], lat_v[lo:hi]
         if ll.size == 0:
-            o_doc.append(doc_ids[i]), o_seq.append(-1), o_status.append("unanchored")
-            o_eid.append(None), o_dir.append(None), o_src.append(None), o_dst.append(None)
-            o_slon.append(None), o_slat.append(None), o_cost.append(None), o_cell.append(None)
-            hop_len.append(-1), o_err.append([]), o_span_row.append(i)
+            _error_segment(i, "unanchored", [])
             continue
         try:
             # inside the poison-pill guard: a doc with absurd coordinates
@@ -242,33 +270,58 @@ def match_batch(
             )
             res = match_trajectory(net, ll, la, opts)
         except MatchError as e:
-            o_doc.append(doc_ids[i]), o_seq.append(-1), o_status.append(e.kind)
-            o_eid.append(None), o_dir.append(None), o_src.append(None), o_dst.append(None)
-            o_slon.append(None), o_slat.append(None), o_cost.append(None), o_cell.append(None)
-            hop_len.append(-1), o_err.append([int(x) for x in e.layers]), o_span_row.append(i)
+            _error_segment(i, e.kind, [int(x) for x in e.layers])
             continue
         except Exception:  # poison-pill tolerance: one bad doc must not
             # kill the partition (the reference acks poison messages away,
             # orchestrator.rs:117-131) — surfaced as an "internal" error row
-            o_doc.append(doc_ids[i]), o_seq.append(-1), o_status.append("internal")
-            o_eid.append(None), o_dir.append(None), o_src.append(None), o_dst.append(None)
-            o_slon.append(None), o_slat.append(None), o_cost.append(None), o_cell.append(None)
-            hop_len.append(-1), o_err.append([]), o_span_row.append(i)
+            _error_segment(i, "internal", [])
             continue
-        cells_out = lonlat_to_cell(
-            np.asarray([m.snap_lon for m in res.layers]),
-            np.asarray([m.snap_lat for m in res.layers]),
-            out_zoom,
-        )
+        L = len(res.layers)
+        seq_a = np.empty(L, np.int32)
+        eid_a = np.empty(L, np.int64)
+        dir_a = np.empty(L, np.uint8)
+        src_a = np.empty(L, np.int64)
+        dst_a = np.empty(L, np.int64)
+        slon_a = np.empty(L, np.float64)
+        slat_a = np.empty(L, np.float64)
+        hlen_a = np.empty(L, np.int64)
         for k, m in enumerate(res.layers):
-            o_doc.append(doc_ids[i]), o_seq.append(m.seq), o_status.append("ok")
-            o_eid.append(m.edge_id), o_dir.append(m.direction), o_src.append(m.src), o_dst.append(m.dst)
-            o_slon.append(m.snap_lon), o_slat.append(m.snap_lat)
-            o_cost.append(res.cost), o_cell.append(int(cells_out[k]))
+            seq_a[k] = m.seq
+            eid_a[k] = m.edge_id
+            dir_a[k] = m.direction
+            src_a[k] = m.src
+            dst_a[k] = m.dst
+            slon_a[k] = m.snap_lon
+            slat_a[k] = m.snap_lat
+            hlen_a[k] = m.hop_lons.size
             hop_parts_lon.append(m.hop_lons)
             hop_parts_lat.append(m.hop_lats)
-            hop_len.append(m.hop_lons.size)
-            o_err.append(None), o_span_row.append(i)
+        seg_doc_idx.append(i), seg_count.append(L), seg_status.append("ok")
+        seq_parts.append(seq_a)
+        eid_parts.append(eid_a), dir_parts.append(dir_a)
+        src_parts.append(src_a), dst_parts.append(dst_a)
+        slon_parts.append(slon_a), slat_parts.append(slat_a)
+        cost_parts.append(np.full(L, res.cost, np.uint32))
+        cell_parts.append(lonlat_to_cell(slon_a, slat_a, out_zoom).astype(np.uint64))
+        valid_parts.append(np.ones(L, bool))
+        hop_len_parts.append(hlen_a)
+
+    def _cat(parts: list[np.ndarray], dtype) -> np.ndarray:
+        return np.concatenate(parts) if parts else np.empty(0, dtype)
+
+    counts = np.asarray(seg_count, dtype=np.int64)
+    # per-row doc index: one Arrow take serves doc_id, status and spans
+    row_doc_idx = np.repeat(np.asarray(seg_doc_idx, dtype=np.int64), counts)
+    row_seg_idx = np.repeat(np.arange(len(seg_count), dtype=np.int64), counts)
+    take_doc = pa.array(row_doc_idx, pa.int64())
+    doc_arr = (
+        batch["doc_id"].combine_chunks()
+        if isinstance(batch["doc_id"], pa.ChunkedArray)
+        else batch["doc_id"]
+    ).take(take_doc)
+    status_arr = pa.array(seg_status, pa.string()).take(pa.array(row_seg_idx, pa.int64()))
+    invalid_mask = ~_cat(valid_parts, bool)
 
     spans_type = spans_col.type if spans_col is not None else pa.list_(
         pa.struct([("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())])
@@ -277,15 +330,15 @@ def match_batch(
     if spans_col is not None:
         spans_arr = (
             spans_col.combine_chunks() if isinstance(spans_col, pa.ChunkedArray) else spans_col
-        ).take(pa.array(o_span_row, pa.int64()))
+        ).take(take_doc)
     else:
-        spans_arr = pa.nulls(len(o_doc), spans_type)
+        spans_arr = pa.nulls(len(row_doc_idx), spans_type)
 
     # one ListArray for every hop path: flat numpy children + offsets with
     # nulls at error rows (a null START offset marks that list entry null)
     flat_lon = np.concatenate(hop_parts_lon) if hop_parts_lon else np.empty(0)
     flat_lat = np.concatenate(hop_parts_lat) if hop_parts_lat else np.empty(0)
-    lens = np.asarray(hop_len, dtype=np.int64)
+    lens = _cat(hop_len_parts, np.int64)
     starts = np.concatenate(([0], np.cumsum(np.maximum(lens, 0))))
     off_vals = starts.tolist()
     for j in np.flatnonzero(lens < 0).tolist():
@@ -297,21 +350,42 @@ def match_batch(
     )
     hop_arr = pa.ListArray.from_arrays(hop_offsets, hop_values)
 
+    # error_layers list column: values only at error rows (same null-offset
+    # pattern as hops); ok rows are null entries
+    err_vals = np.asarray(
+        [x for lst in err_layer_lists for x in lst], dtype=np.int32
+    )
+    err_row_lens = np.where(invalid_mask, 0, -1).astype(np.int64)  # 0-len at err rows
+    err_i = 0
+    for j in np.flatnonzero(invalid_mask).tolist():
+        err_row_lens[j] = len(err_layer_lists[err_i])
+        err_i += 1
+    err_starts = np.concatenate(([0], np.cumsum(np.maximum(err_row_lens, 0))))
+    err_offs = err_starts.tolist()
+    for j in np.flatnonzero(err_row_lens < 0).tolist():
+        err_offs[j] = None
+    err_arr = pa.ListArray.from_arrays(
+        pa.array(err_offs, pa.int32()), pa.array(err_vals, pa.int32())
+    )
+
+    def _masked(vals: np.ndarray, typ) -> pa.Array:
+        return pa.array(vals, typ, mask=invalid_mask)
+
     return pa.Table.from_arrays(
         [
-            pa.array(o_doc, pa.string()),
-            pa.array(o_seq, pa.int32()),
-            pa.array(o_status, pa.string()),
-            pa.array(o_eid, pa.int64()),
-            pa.array(o_dir, pa.uint8()),
-            pa.array(o_src, pa.int64()),
-            pa.array(o_dst, pa.int64()),
-            pa.array(o_slon, pa.float64()),
-            pa.array(o_slat, pa.float64()),
+            doc_arr,
+            pa.array(_cat(seq_parts, np.int32), pa.int32()),  # -1 (not null) at error rows
+            status_arr,
+            _masked(_cat(eid_parts, np.int64), pa.int64()),
+            _masked(_cat(dir_parts, np.uint8), pa.uint8()),
+            _masked(_cat(src_parts, np.int64), pa.int64()),
+            _masked(_cat(dst_parts, np.int64), pa.int64()),
+            _masked(_cat(slon_parts, np.float64), pa.float64()),
+            _masked(_cat(slat_parts, np.float64), pa.float64()),
             hop_arr.cast(HOP_TYPE),
-            pa.array(o_cost, pa.uint32()),
-            pa.array(o_cell, pa.uint64()),
-            pa.array(o_err, pa.list_(pa.int32())),
+            _masked(_cat(cost_parts, np.uint32), pa.uint32()),
+            _masked(_cat(cell_parts, np.uint64), pa.uint64()),
+            err_arr,
             spans_arr,
         ],
         schema=schema,

@@ -225,18 +225,24 @@ def sql_tile_project() -> str:
 def q_haversine_track(sf_dir: str):
     """Per-user track length: sort by (ts, event_id) within user, sum
     consecutive haversine hops — the per-key ordered-window pattern."""
-    import pandas as pd
     import ray.data as rd
 
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
 
-    def _track(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        lon, lat = event_lonlat(g["event_id"].to_numpy())
+    def _track(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        lon, lat = event_lonlat(eid[order])
         d = hav_m(lon[:-1], lat[:-1], lon[1:], lat[1:]).sum() if len(g) > 1 else 0.0
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "total_m": [float(r3(d))]})
+        return pa.table(
+            {
+                "user_id": g["user_id"].slice(0, 1).combine_chunks(),
+                "total_m": pa.array([float(r3(d))], pa.float64()),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(_track, batch_format="pandas")
+    return ds.groupby("user_id").map_groups(_track, batch_format="pyarrow")
 
 
 def sql_haversine_track() -> str:
@@ -554,20 +560,21 @@ def sql_events_window() -> str:
 
 def q_distinct_users(sf_dir: str):
     """Distinct aggregation: unique users per event type."""
-    import pandas as pd
     import ray.data as rd
 
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "user_id"])
 
-    def _distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def _distinct(g: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "event_type": [g["event_type"].iloc[0]],
-                "n_users": [int(g["user_id"].nunique())],
+                "event_type": g["event_type"].slice(0, 1).combine_chunks(),
+                "n_users": pa.array(
+                    [pc.count_distinct(g["user_id"]).as_py()], pa.int64()
+                ),
             }
         )
 
-    return ds.groupby("event_type").map_groups(_distinct, batch_format="pandas")
+    return ds.groupby("event_type").map_groups(_distinct, batch_format="pyarrow")
 
 
 def sql_distinct_users() -> str:
@@ -1208,28 +1215,27 @@ def q_value_percentiles(sf_dir: str):
     conformance-metrics selection rule (``metrics.rs:30-74``) as a grouped
     aggregate; nearest-rank picks an EXACT element so the oracle compare
     is exact."""
-    import pandas as pd
     import ray.data as rd
 
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
 
-    def _grp(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["value"].to_numpy())
+    def _grp(g: pa.Table) -> pa.Table:
+        v = np.sort(g["value"].to_numpy(zero_copy_only=False))
         n = v.size
 
         def nr(q):
             return float(v[max(int(np.ceil(q * n)) - 1, 0)])
 
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_type": [g["event_type"].iloc[0]],
-                "p50": [nr(0.5)],
-                "p95": [nr(0.95)],
-                "n": [np.int64(n)],
+                "event_type": g["event_type"].slice(0, 1).combine_chunks(),
+                "p50": pa.array([nr(0.5)], pa.float64()),
+                "p95": pa.array([nr(0.95)], pa.float64()),
+                "n": pa.array([n], pa.int64()),
             }
         )
 
-    return ds.groupby("event_type").map_groups(_grp, batch_format="pandas")
+    return ds.groupby("event_type").map_groups(_grp, batch_format="pyarrow")
 
 
 def sql_value_percentiles() -> str:
