@@ -812,3 +812,284 @@ def planted_access_expected_path() -> str:
     )
     _PLANTED["access_expected"] = path
     return path
+
+
+# ---------------------------------------------------------------------------
+# planted speed-limit world: the maxspeed parser-family oracle
+# ---------------------------------------------------------------------------
+
+# tag templates spanning the reference's speed_limit/test.rs surface:
+# blanket, units, mode/direction restrictions, per-lane (incl. missing
+# slots), conditional (time, road, property, AND/OR combined), sentinels
+_SPEED_TAGSETS: list[list[tuple[str, str]]] = [
+    [("maxspeed", "50")],
+    [("maxspeed", "30 mph")],
+    [("maxspeed", "none")],  # fails VALUE_PATTERN → entry dropped
+    [("maxspeed", "130 @ (19:00-06:00)")],
+    [("maxspeed", "100"), ("maxspeed:conditional", "60 @ (Mo-Fr 07:00-19:00)")],
+    [("maxspeed:lanes", "100|80|80")],
+    [("maxspeed:lanes", "|50")],
+    [("maxspeed:lanes:conditional",
+      "100 @ (22:00-06:00)|40 @ (Mo-Fr 07:00-9:00,16:00-20:00)|60")],
+    [("maxspeed", "100"), ("maxspeed:hgv", "20 mph")],
+    [("maxspeed", "90"), ("maxspeed:bus:backward", "70")],
+    [("maxspeed:forward", "80")],
+    [("maxspeed", "110"), ("maxspeed:conditional", "80 @ wet")],
+    [("maxspeed:hgv:conditional", "60 @ (weight>7.5)")],
+    [("maxspeed", "120"), ("maxspeed:conditional", "90 @ (22:00-06:00 AND wet)")],
+    [("maxspeed", "120"), ("maxspeed:conditional", "90 @ (22:00-06:00 OR wet)")],
+    [("maxspeed", "5 knots")],
+    [("maxspeed:conditional", "30 @ (Sa,Su; 22:00-06:00)")],
+    [("maxspeed:lanes:forward", "65 mph|65 mph|25 mph")],
+]
+
+SPEED_PROBE_MODES = ("motorcar", "hgv", "bus")
+
+_SPEED_TAG_TYPE = pa.list_(
+    pa.struct([("key", pa.string()), ("value", pa.string())])
+)
+
+
+def planted_speed_world(n_edges: int = 500, seed: int = 37) -> str:
+    """Edge table with maxspeed tag-sets, a travel direction and a probe
+    lane (−1 = no lane context). Cached per process; returns parquet path."""
+    hit = _PLANTED.get("speed_path")
+    if hit is not None:
+        return hit
+    rng = np.random.default_rng(seed)
+    tagsets, dirs, lanes = [], [], []
+    for _ in range(n_edges):
+        tagsets.append(_SPEED_TAGSETS[int(rng.integers(0, len(_SPEED_TAGSETS)))])
+        dirs.append("forward" if rng.integers(0, 2) == 0 else "backward")
+        # NonZeroU8 lane semantics: valid probe lanes are 1.. (slot 0
+        # unreachable in the reference); −1 = no lane context
+        lanes.append(int(rng.choice([-1, 1, 2])))
+    tbl = pa.table(
+        {
+            "edge_id": pa.array(np.arange(n_edges, dtype=np.int64), pa.int64()),
+            "dir": pa.array(dirs, pa.string()),
+            "probe_lane": pa.array(lanes, pa.int32()),
+            "tags": pa.array(
+                [[{"key": k, "value": v} for k, v in ts] for ts in tagsets],
+                _SPEED_TAG_TYPE,
+            ),
+        }
+    )
+    out_dir = tempfile.mkdtemp(prefix="routers_ray_oracle_speed_")
+    path = os.path.join(out_dir, "planted_speed.parquet")
+    pq.write_table(tbl, path)
+    _PLANTED["speed_path"] = path
+    return path
+
+
+# --- independent scalar recompute (datetime-based; no speed_limit.py) ---
+
+_SL_MODE_WORDS = frozenset(
+    "access foot dog horse bicycle mtb vehicle motor_vehicle motorcycle moped "
+    "motorcar goods hgv agricultural psv bus taxi minibus emergency hazmat "
+    "disabled coach trailer caravan".split()
+)
+_SL_DAYS = {"Mo": 0, "Tu": 1, "We": 2, "Th": 3, "Fr": 4, "Sa": 5, "Su": 6,
+            "monday": 0, "tuesday": 1, "wednesday": 2, "thursday": 3,
+            "friday": 4, "saturday": 5, "sunday": 6}
+
+
+def _sl_minutes(tok: str) -> int:
+    bits = tok.split(":")
+    h = int(bits[0])
+    m = int(bits[1]) if len(bits) > 1 else 0
+    if h > 24 or m > 59:
+        raise ValueError(tok)
+    return h * 60 + m
+
+
+def _sl_open_at(spec: str, ts_us: int) -> bool:
+    """Scalar opening-hours evaluation via datetime (independent of
+    access.py): '24/7', ';'-rules, weekday tokens, end-inclusive time
+    ranges, overnight wrap, single point = one hour (midnight → 0)."""
+    import datetime as dt
+
+    spec = spec.strip()
+    if not spec:
+        raise ValueError("empty")
+    d = dt.datetime.fromtimestamp(ts_us / 1e6, tz=dt.timezone.utc)
+    minute = d.hour * 60 + d.minute
+    if spec == "24/7":
+        return True
+    matched = False
+    saw_rule = False
+    for rule in spec.split(";"):
+        rule = rule.strip()
+        if not rule:
+            continue
+        saw_rule = True
+        if rule.lower() in ("closed", "off"):
+            continue
+        days: set[int] | None = None
+        windows: list[tuple[int, int]] = []
+        for tok in rule.split():
+            if tok[0].isdigit():
+                for part in tok.split(","):
+                    if not part:
+                        continue
+                    if "-" in part:
+                        a, b = part.split("-", 1)
+                        windows.append((_sl_minutes(a), _sl_minutes(b)))
+                    else:
+                        s = _sl_minutes(part)
+                        windows.append((s, (s + 60) % 1440))
+            else:
+                days = days or set()
+                for part in tok.split(","):
+                    if not part:
+                        continue
+                    if "-" in part:
+                        a, b = part.split("-", 1)
+                        if a not in _SL_DAYS or b not in _SL_DAYS:
+                            raise ValueError(tok)
+                        i = _SL_DAYS[a]
+                        while True:
+                            days.add(i)
+                            if i == _SL_DAYS[b]:
+                                break
+                            i = (i + 1) % 7
+                    else:
+                        if part not in _SL_DAYS and part.lower() not in _SL_DAYS:
+                            raise ValueError(tok)
+                        days.add(_SL_DAYS.get(part, _SL_DAYS.get(part.lower())))
+        day_ok = days is None or d.weekday() in days
+        if not windows:
+            windows = [(0, 1440)]
+        t_ok = False
+        for s, e in windows:
+            t_ok |= (s <= minute <= e) if s <= e else (minute >= s or minute <= e)
+        matched |= day_ok and t_ok
+    if not saw_rule:
+        raise ValueError("no rules")
+    return matched
+
+
+def _sl_cond_applies(cond: str, ts_us: int) -> bool:
+    """Scalar condition evaluation: AND/OR recursion; time-date rules via
+    _sl_open_at; any non-time condition kind → False (no runtime env)."""
+    t = cond.strip()
+    if t.startswith("(") and t.endswith(")"):
+        t = t[1:-1]
+    upper = t.upper()
+    for token, op in ((" AND ", all), (" OR ", any)):
+        pos = upper.find(token)
+        if pos >= 0:
+            return op(
+                (_sl_cond_applies(t[:pos], ts_us),
+                 _sl_cond_applies(t[pos + len(token):], ts_us))
+            )
+    q = t.find('"')
+    hours = t[:q].strip() if q >= 0 else t
+    try:
+        return _sl_open_at(hours, ts_us)
+    except (ValueError, IndexError):
+        return False  # season/road/property/usage: no env signal at probes
+
+
+def _sl_value(val: str):
+    """Scalar conditional-speed parse: (kmh:int, cond:str|None) or None."""
+    m = re.match(r"^\s*(\d+)(?:\s*([^\s(]+))?", val)
+    if not m:
+        return None
+    n = int(m.group(1))
+    if not (1 <= n <= 0xFFFF):
+        return None
+    unit = (m.group(2) or "").lower()
+    if unit == "mph":
+        kmh = int(n * 1.609344)
+    elif unit == "knots":
+        kmh = int(n * 1.852)
+    elif unit in ("none", "walk", "variable", "inherited"):
+        return None
+    else:
+        kmh = n
+    if kmh == 0:
+        return None
+    cm = re.search(r"\(([^)]+)\)", val)
+    return kmh, (cm.group(1) if cm else None)
+
+
+def _scalar_speed_kmh(tags, mode: str, direction: str, lane, ts_us: int):
+    """Effective km/h for one edge context, or None. Independent of
+    speed_limit.py: conditional-applies overrides unconditional, min wins."""
+    uncond, cond_open = [], []
+    for k, v in sorted((t["key"], t["value"]) for t in tags):
+        if not k.startswith("maxspeed"):
+            continue
+        secs = k.split(":")
+        tmode = next((s for s in secs if s in _SL_MODE_WORDS), None)
+        tdir = next(
+            (s for s in secs if s in ("forward", "backward", "both_ways")), None
+        )
+        if tmode is not None and tmode != mode:
+            continue
+        if tdir is not None and tdir != direction:
+            continue
+        if "lanes" in k:
+            slots = v.split("|")
+            if slots and slots[-1] == "":
+                slots.pop()
+            if lane is None or lane < 0 or lane >= len(slots):
+                continue
+            val = slots[lane]
+        else:
+            val = v
+        parsed = _sl_value(val)
+        if parsed is None:
+            continue
+        kmh, cond = parsed
+        if cond is None:
+            uncond.append(kmh)
+        elif _sl_cond_applies(cond, ts_us):
+            cond_open.append(kmh)
+    if cond_open:
+        return min(cond_open)
+    if uncond:
+        return min(uncond)
+    return None
+
+
+def planted_speed_expected_path() -> str:
+    """Per-(mode, probe) limited-edge counts + km/h sums of the planted
+    speed world via the scalar recompute. Written once per process."""
+    hit = _PLANTED.get("speed_expected")
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as papq
+
+    tbl = papq.read_table(planted_speed_world())
+    tags_col = tbl["tags"].to_pylist()
+    dir_col = tbl["dir"].to_pylist()
+    lane_col = tbl["probe_lane"].to_pylist()
+    rows = []
+    for mode in SPEED_PROBE_MODES:
+        for ts_us in ACCESS_PROBES_US:
+            n_limited, s_kmh = 0, 0
+            for tags, dirn, lane in zip(tags_col, dir_col, lane_col):
+                kmh = _scalar_speed_kmh(
+                    tags, mode, dirn, None if lane < 0 else lane, ts_us
+                )
+                if kmh is not None:
+                    n_limited += 1
+                    s_kmh += kmh
+            rows.append((mode, ts_us, n_limited, s_kmh))
+    out_dir = tempfile.mkdtemp(prefix="routers_ray_oracle_speedx_")
+    path = os.path.join(out_dir, "speed_expected.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "mode": pa.array([r[0] for r in rows], pa.string()),
+                "ts_us": pa.array([r[1] for r in rows], pa.int64()),
+                "n_limited": pa.array([r[2] for r in rows], pa.int64()),
+                "sum_kmh": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        ),
+        path,
+    )
+    _PLANTED["speed_expected"] = path
+    return path

@@ -1626,6 +1626,85 @@ def sql_access_windows() -> str:
     )
 
 
+def q_speed_limits(sf_dir: str):
+    """Effective speed limits over the planted maxspeed world — the full
+    parser family (blanket / per-lane / mph-knots units / mode + direction
+    restricted labels / conditional values incl. AND-OR combined,
+    ``speed_limit/{limit,restriction,collection}.rs`` +
+    ``condition.rs``) resolved per probe context. Per-batch: each DISTINCT
+    tag-set parses once, conditions evaluate vectorized over the probe
+    timestamps; per-(mode, probe) limited-edge counts + km/h sums leave
+    each batch pre-aggregated (combiner before the groupby shuffle).
+    Oracled against an independent scalar datetime recomputation."""
+    import ray.data as rd
+
+    from ..oracle_match import (
+        ACCESS_PROBES_US,
+        SPEED_PROBE_MODES,
+        planted_speed_world,
+    )
+    from ..speed_limit import effective_limit_kmh, parse_collection
+
+    probes = np.asarray(ACCESS_PROBES_US, dtype=np.int64)
+    ds = rd.read_parquet(planted_speed_world())
+
+    def _partial(b: pa.Table) -> pa.Table:
+        tags_col = b["tags"].to_pylist()
+        dirs = b["dir"].to_pylist()
+        lanes = b["probe_lane"].to_numpy(zero_copy_only=False)
+        parsed: dict[tuple, list] = {}
+        n_lim = {m: np.zeros(probes.size, dtype=np.int64) for m in SPEED_PROBE_MODES}
+        s_kmh = {m: np.zeros(probes.size, dtype=np.int64) for m in SPEED_PROBE_MODES}
+        for tags, dirn, lane in zip(tags_col, dirs, lanes):
+            key = tuple((t["key"], t["value"]) for t in tags)
+            entries = parsed.get(key)
+            if entries is None:
+                entries = parse_collection(list(key))
+                parsed[key] = entries
+            lane_ctx = None if lane < 0 else int(lane)
+            for m in SPEED_PROBE_MODES:
+                kmh = effective_limit_kmh(entries, m, dirn, lane_ctx, probes)
+                lim = ~np.isnan(kmh)
+                n_lim[m] += lim
+                s_kmh[m] += np.where(lim, kmh, 0.0).astype(np.int64)
+        return pa.table(
+            {
+                "mode": pa.array(
+                    [m for m in SPEED_PROBE_MODES for _ in range(probes.size)],
+                    pa.string(),
+                ),
+                "ts_us": pa.array(
+                    np.tile(probes, len(SPEED_PROBE_MODES)), pa.int64()
+                ),
+                "n_limited": pa.array(
+                    np.concatenate([n_lim[m] for m in SPEED_PROBE_MODES]), pa.int64()
+                ),
+                "sum_kmh": pa.array(
+                    np.concatenate([s_kmh[m] for m in SPEED_PROBE_MODES]), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["mode", "ts_us"])
+        .sum(["n_limited", "sum_kmh"])
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["mode", "ts_us", "n_limited", "sum_kmh"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_speed_limits() -> str:
+    from ..oracle_match import planted_speed_expected_path
+
+    return (
+        "SELECT mode, ts_us, n_limited, sum_kmh FROM "
+        f"read_parquet('{planted_speed_expected_path()}')"
+    )
+
+
 def q_transport_access(sf_dir: str):
     """Per-transport-mode edge accessibility + speed/class metadata over
     the planted metadata world — the precomputed-access-column path
@@ -2164,6 +2243,7 @@ def registry() -> dict[str, tuple]:
         "tiles_dated": (q_tiles_dated, sql_tiles_dated()),
         "transport_access": (q_transport_access, sql_transport_access()),
         "access_windows": (q_access_windows, sql_access_windows),
+        "speed_limits": (q_speed_limits, sql_speed_limits),
         "timezone": (q_timezone, sql_timezone()),
         "sessionize": (q_sessionize, sql_sessionize()),
         "embed_dups": (q_embed_dups, sql_embed_dups()),
