@@ -243,38 +243,25 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # warm per-core matcher throughput (the single-core criterion NOTES
-    # tracks): match 300 docs twice in-process, report the warm pass
+    # tracks): run the headline's fused actor stage (parse + grouped
+    # batched matcher + Arrow assembly — exactly what one pool actor does
+    # per batch) over 300 docs in-process, report the warm pass
     percore = None
     if not scaling_child:
         try:
-            import pyarrow.parquet as _papq
-
-            from routers_ray.matcher import MatchOptions as _MO
-            from routers_ray.matcher import match_trajectory as _mt
-            from routers_ray.network import NetworkStore as _NS
-            from routers_ray.spans import parse_trajectories as _pt
+            from routers_ray.pipelines.match_pipeline import MatchDocs as _MD
 
             _tbl = rd.read_parquet(
                 os.path.join(world, "corpus", "documents.parquet")
             ).take_batch(300, batch_format="pyarrow")
-            _parsed = _pt(_tbl)
-            _store = _NS(os.path.join(world, "netstore"))
-            _opts = _MO()
-            _buf = _opts.threshold_cm / 100.0 + _opts.search_distance_m
-            _trajs = []
-            for i in range(_parsed.num_rows):
-                _lo = __import__("numpy").asarray(_parsed["pts_lon"][i].as_py())
-                _la = __import__("numpy").asarray(_parsed["pts_lat"][i].as_py())
-                if _lo.size >= 2:
-                    _trajs.append((_lo, _la))
+            _stage = _MD(
+                os.path.join(world, "netstore"),
+                parse_inside=True,
+                keep_spans=False,
+            )
 
             def _run():
-                for _lo, _la in _trajs:
-                    _net = _store.network_for_doc(_lo, _la, buffer_m=_buf)
-                    try:
-                        _mt(_net, _lo, _la, _opts)
-                    except Exception:
-                        pass
+                _stage(_tbl)
 
             _run()  # cold pass warms caches
             # best of N warm passes — the per-core number is a capability
@@ -285,7 +272,7 @@ def run_bench() -> dict:
                 _t0 = time.perf_counter()
                 _run()
                 _best = min(_best, time.perf_counter() - _t0)
-            percore = round(len(_trajs) / _best, 1)
+            percore = round(_tbl.num_rows / _best, 1)
         except Exception:
             pass
 

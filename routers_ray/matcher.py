@@ -834,9 +834,10 @@ def match_trajectories(
 
     # chunk the batched kernel: pair arrays beyond ~10^5 elements fall out
     # of cache and the vector fold turns memory-bound (measured 17x slower
-    # per element) — ~32 docs per kernel call keeps the amortization AND
-    # the locality
-    CHUNK = 16
+    # per element) — the r04 sweep over the bench corpus (8/16/24/32/48/
+    # 64/96/128 → 309/278/335/346/355/359/360/337 docs/s) plateaus at
+    # 64-96 docs (~60k pairs) per kernel call
+    CHUNK = 64
     if len(simple) > CHUNK:
         for s in range(0, len(simple), CHUNK):
             part = simple[s : s + CHUNK]
