@@ -48,6 +48,7 @@ from .csr import DEFAULT_THRESHOLD_CM, bounded_dijkstra, parent_path
 from .geo import bearing_deg, haversine_m
 from .network import CellNetwork
 from .trellis import (
+    INF_W,
     MAX_WEIGHT,
     NO_EDGE,
     Trellis,
@@ -323,7 +324,7 @@ class _TrajectoryContext:
         bf = np.arange(L - 1, dtype=np.int64)
         mats = _weigh_kernel(self, c_row, c_frac, c_lon, c_lat, loff, bf)
         for b, mat in mats.items():
-            t.fill_transition(int(b), mat, validate=False)
+            t.set_resolved(int(b), mat)  # already INF_W-normalized int64
         return t
 
     def hop_geometry(self, li: int, si: int, lj: int, ti: int):
@@ -352,6 +353,76 @@ class _TrajectoryContext:
         keep[0] = True
         np.logical_or(lons[1:] != lons[:-1], lats[1:] != lats[:-1], out=keep[1:])
         return lons[keep], lats[keep]
+
+    def hops_for_chosen(self, rows, frac, lons, lats):
+        """Vectorized :meth:`hop_geometry` over a whole chosen path.
+
+        ``rows/frac/lons/lats`` are the chosen candidate per layer; returns
+        ``(flat_lons, flat_lats, lengths)`` covering the ``L-1`` hops in
+        order — identical values to per-hop calls (pure gathers + the same
+        consecutive-duplicate dedup with each hop's first point forced
+        kept), assembled with one allocation instead of one call per hop.
+        """
+        H = rows.size - 1
+        if H <= 0:
+            return np.empty(0), np.empty(0), np.empty(0, dtype=np.int64)
+        net = self.net
+        s_row, t_row = rows[:-1], rows[1:]
+        direct = (s_row == t_row) & (frac[:-1] <= frac[1:])
+        s_lon, s_lat = lons[:-1], lats[:-1]
+        t_lon, t_lat = lons[1:], lats[1:]
+        infos = [None] * H
+        for h in np.flatnonzero(~direct).tolist():
+            infos[h] = self.path_info(
+                int(net.dst_idx[s_row[h]]), int(net.src_idx[t_row[h]])
+            )
+        lens = np.full(H, 2, dtype=np.int64)
+        coincident = (s_lon == t_lon) & (s_lat == t_lat)
+        for h, info in enumerate(infos):
+            if info is not None:
+                lens[h] = 2 + info.lons.size
+            elif coincident[h]:
+                lens[h] = 1
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        total = int(offs[-1])
+        fl = np.empty(total)
+        fa = np.empty(total)
+        starts = offs[:-1]
+        fl[starts] = s_lon
+        fa[starts] = s_lat
+        multi = lens >= 2
+        ends = offs[1:] - 1
+        fl[ends[multi]] = t_lon[multi]
+        fa[ends[multi]] = t_lat[multi]
+        for h, info in enumerate(infos):
+            if info is not None and info.lons.size:
+                a = int(starts[h]) + 1
+                fl[a : a + info.lons.size] = info.lons
+                fa[a : a + info.lons.size] = info.lats
+        # consecutive-duplicate seam dedup (route.rs:129): one global
+        # compare; forcing hop starts kept makes it exactly the per-hop
+        # dedup (cross-hop comparisons can only affect forced positions)
+        keep = np.empty(total, dtype=bool)
+        keep[0] = True
+        np.logical_or(fl[1:] != fl[:-1], fa[1:] != fa[:-1], out=keep[1:])
+        keep[starts] = True
+        new_lens = np.add.reduceat(keep.astype(np.int64), starts)
+        return fl[keep], fa[keep], new_lens
+
+
+def _chosen_arrays(layers, nodes):
+    """Per-layer chosen candidate gathers → (rows, frac, lons, lats)."""
+    L = len(layers)
+    rows = np.empty(L, dtype=np.int64)
+    frac = np.empty(L)
+    lons = np.empty(L)
+    lats = np.empty(L)
+    for k, (ly, ni) in enumerate(zip(layers, nodes)):
+        rows[k] = ly.edge_rows[ni]
+        frac[k] = ly.frac[ni]
+        lons[k] = ly.pos_lon[ni]
+        lats[k] = ly.pos_lat[ni]
+    return rows, frac, lons, lats
 
 
 def _weigh_kernel(ctx: "_TrajectoryContext", c_row, c_frac, c_lon, c_lat, loff, bf):
@@ -599,23 +670,31 @@ def _pack_boundary_mats(cost, reachable, complete, BB, FI, TI, bf, w, loff, n_bo
     bounds = np.searchsorted(BB, np.arange(n_bounds), side="left")
     bounds = np.append(bounds, BB.size)
     mats: dict[int, np.ndarray] = {}
+    # matrices are emitted ALREADY INF_W-normalized (the fill_transition
+    # NO_EDGE→INF_W convention applied once on the flat array) so the
+    # trellis can adopt them via set_resolved with no per-boundary copy
     if complete:
         # AllCompute pairs are the full fi-major cross product — the dense
-        # matrix IS a reshape of the flat cost with NO_EDGE holes (one
+        # matrix IS a reshape of the flat cost with INF_W holes (one
         # vectorized where instead of a per-boundary allocate + scatter)
-        full_cost = np.where(reachable, cost, np.int64(NO_EDGE))
+        full_cost = np.where(reachable, cost, np.int64(INF_W))
+        # per-boundary reachability via one flat segment reduce (complete
+        # boundaries are never empty: counts = nF*nT >= 1), replacing a
+        # per-boundary .any() slice scan
+        any_reach = np.add.reduceat(reachable.astype(np.int64), bounds[:-1]) > 0
         for i in range(n_bounds):
-            lo, hi = bounds[i], bounds[i + 1]
-            if reachable[lo:hi].any():
+            if any_reach[i]:
                 b = int(bf[i])
-                mats[i] = full_cost[lo:hi].reshape(int(w[b]), int(w[b + 1]))
+                mats[i] = full_cost[bounds[i]:bounds[i + 1]].reshape(
+                    int(w[b]), int(w[b + 1])
+                )
         return mats
     for i in range(n_bounds):
         lo, hi = bounds[i], bounds[i + 1]
         r = np.flatnonzero(reachable[lo:hi]) + lo
         if r.size:
             b = int(bf[i])
-            mat = np.full((int(w[b]), int(w[b + 1])), int(NO_EDGE), dtype=np.int64)
+            mat = np.full((int(w[b]), int(w[b + 1])), int(INF_W), dtype=np.int64)
             mat[FI[r] - loff[b], TI[r] - loff[b + 1]] = cost[r]
             mats[i] = mat
     return mats
@@ -705,14 +784,15 @@ def match_trajectory(net: CellNetwork, lons, lats, opts: MatchOptions | None = N
 
         conv = _convergence(trellis)
 
+    ch_rows, ch_frac, ch_lons, ch_lats = _chosen_arrays(layers, nodes)
+    fl, fa, hop_lens = ctx.hops_for_chosen(ch_rows, ch_frac, ch_lons, ch_lats)
+    hoffs = np.concatenate(([0], np.cumsum(hop_lens)))
+    hl = [fl[hoffs[i]:hoffs[i + 1]] for i in range(hop_lens.size)]
+    ha = [fa[hoffs[i]:hoffs[i + 1]] for i in range(hop_lens.size)]
+    _E = np.empty(0)
     out: list[MatchedLayer] = []
-    for k, (ly, ni) in enumerate(zip(layers, nodes)):
-        row = int(ly.edge_rows[ni])
-        if k == 0:
-            hop_lons = np.empty(0)
-            hop_lats = np.empty(0)
-        else:
-            hop_lons, hop_lats = ctx.hop_geometry(k - 1, int(nodes[k - 1]), k, int(ni))
+    for k in range(len(layers)):
+        row = int(ch_rows[k])
         out.append(
             MatchedLayer(
                 seq=int(seqs[k]),
@@ -720,10 +800,10 @@ def match_trajectory(net: CellNetwork, lons, lats, opts: MatchOptions | None = N
                 direction=int(net.dir[row]),
                 src=int(net.src[row]),
                 dst=int(net.dst[row]),
-                snap_lon=float(ly.pos_lon[ni]),
-                snap_lat=float(ly.pos_lat[ni]),
-                hop_lons=hop_lons,
-                hop_lats=hop_lats,
+                snap_lon=float(ch_lons[k]),
+                snap_lat=float(ch_lats[k]),
+                hop_lons=_E if k == 0 else hl[k - 1],
+                hop_lats=_E if k == 0 else ha[k - 1],
             )
         )
     return MatchResult(layers=out, cost=int(cost), dropped_seqs=dropped, converged_layer=conv)
@@ -905,10 +985,11 @@ def match_trajectories(
                 )
             )
         t = Trellis.new([ly.edge_rows.size for ly in layers])
-        for i, ly in enumerate(layers):
-            t.fill_nodes(i, ly.emission.astype(np.int64))
+        for i, g in enumerate(range(glo, ghi)):
+            # c_emis is already clamped int64 — skip the validate scan
+            t.fill_nodes(i, c_emis[loff[g]:loff[g + 1]], validate=False)
         for j, mat in per_doc_mats[d].items():
-            t.fill_transition(j, mat, validate=False)
+            t.set_resolved(j, mat)  # already INF_W-normalized int64
         if t.pending_boundaries():
             results[d] = MatchError("disconnected", frontier_collapse(t))
             continue
@@ -928,13 +1009,14 @@ def match_trajectories(
         seq0 = 0 if opts.max_layers is None else max(
             0, len(np.asarray(docs[d][0])) - opts.max_layers
         )
-        for k, (ly, ni) in enumerate(zip(layers, nodes)):
-            row = int(ly.edge_rows[ni])
-            if k == 0:
-                hop_lons = np.empty(0)
-                hop_lats = np.empty(0)
-            else:
-                hop_lons, hop_lats = ctx.hop_geometry(k - 1, int(nodes[k - 1]), k, int(ni))
+        ch_rows, ch_frac, ch_lons, ch_lats = _chosen_arrays(layers, nodes)
+        fl, fa, hop_lens = ctx.hops_for_chosen(ch_rows, ch_frac, ch_lons, ch_lats)
+        hoffs = np.concatenate(([0], np.cumsum(hop_lens)))
+        hl = [fl[hoffs[i]:hoffs[i + 1]] for i in range(hop_lens.size)]
+        ha = [fa[hoffs[i]:hoffs[i + 1]] for i in range(hop_lens.size)]
+        _E = np.empty(0)
+        for k in range(len(layers)):
+            row = int(ch_rows[k])
             out.append(
                 MatchedLayer(
                     seq=seq0 + k,
@@ -942,10 +1024,10 @@ def match_trajectories(
                     direction=int(net.dir[row]),
                     src=int(net.src[row]),
                     dst=int(net.dst[row]),
-                    snap_lon=float(ly.pos_lon[ni]),
-                    snap_lat=float(ly.pos_lat[ni]),
-                    hop_lons=hop_lons,
-                    hop_lats=hop_lats,
+                    snap_lon=float(ch_lons[k]),
+                    snap_lat=float(ch_lats[k]),
+                    hop_lons=_E if k == 0 else hl[k - 1],
+                    hop_lats=_E if k == 0 else ha[k - 1],
                 )
             )
         results[d] = MatchResult(layers=out, cost=int(cost), converged_layer=conv)

@@ -99,6 +99,13 @@ class Trellis:
         out = np.where(m == np.int64(int(NO_EDGE)), np.int64(INF_W), m)
         self.boundaries[boundary] = out
 
+    def set_resolved(self, boundary: int, matrix: np.ndarray) -> None:
+        """Internal fast path for the weigher: ``matrix`` is already int64,
+        already ``(widths[b], widths[b+1])``-shaped and already
+        ``INF_W``-normalized (no ``NO_EDGE`` sentinels) — skip
+        :meth:`fill_transition`'s copy + normalization."""
+        self.boundaries[boundary] = matrix
+
     def is_resolved(self, boundary: int) -> bool:
         return self.boundaries[boundary] is not None
 
