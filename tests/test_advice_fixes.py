@@ -503,3 +503,59 @@ def test_c_weigh_cost_matches_numpy():
     finally:
         M._USE_WEIGH_CKERNEL = old
     assert a == b
+
+
+def test_hops_for_chosen_matches_per_hop_geometry():
+    """The r04 vectorized hop assembly must equal one hop_geometry call per
+    hop (values, lengths and dedup) on real matched paths."""
+    import numpy as np
+
+    from routers_ray.matcher import (
+        MatchOptions,
+        _TrajectoryContext,
+        _chosen_arrays,
+        generate_layers,
+    )
+    from routers_ray.network import synth_network
+    from routers_ray.network import CellNetwork
+    from routers_ray.synth import synth_corpus
+    from routers_ray.spans import parse_trajectories
+    import pyarrow as pa
+
+    from routers_ray.network import fatten_edges
+
+    nodes, edges = synth_network(seed=7, n_cities=1, grid=(8, 8))
+    net = CellNetwork.from_edge_rows(fatten_edges(nodes, edges))
+    docs = synth_corpus(n_docs=24, seed=7, network=(nodes, edges))
+    parsed = parse_trajectories(docs)
+    opts = MatchOptions()
+    from routers_ray.matcher import match_trajectory, MatchError
+    from routers_ray.trellis import viterbi_solve
+
+    checked = 0
+    for i in range(parsed.num_rows):
+        ll = np.asarray(parsed["pts_lon"][i].as_py())
+        la = np.asarray(parsed["pts_lat"][i].as_py())
+        if ll.size < 3:
+            continue
+        layers = generate_layers(net, ll, la, opts)
+        if any(ly.edge_rows.size == 0 for ly in layers):
+            continue
+        ctx = _TrajectoryContext(net, layers, opts)
+        t = ctx.weigh_all()
+        if t.pending_boundaries():
+            continue
+        path, _cost = viterbi_solve(t)
+        rows, frac, lons, lats = _chosen_arrays(layers, path)
+        fl, fa, lens = ctx.hops_for_chosen(rows, frac, lons, lats)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        assert lens.size == len(layers) - 1
+        for k in range(1, len(layers)):
+            exp_lons, exp_lats = ctx.hop_geometry(
+                k - 1, int(path[k - 1]), k, int(path[k])
+            )
+            a, b = offs[k - 1], offs[k]
+            assert np.array_equal(fl[a:b], exp_lons), (i, k)
+            assert np.array_equal(fa[a:b], exp_lats), (i, k)
+            checked += 1
+    assert checked > 50  # the corpus must actually exercise the path
