@@ -2124,16 +2124,34 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
     def _jac(b: pa.Table) -> pa.Table:
-        ta = b["text_a"].to_pylist()
-        tb = b["text"].to_pylist()
-        out = np.empty(len(ta), dtype=np.float64)
-        for k, (x, y) in enumerate(zip(ta, tb)):
-            sa = set((x or "").split(" "))  # single-space split = SQL string_split
-            sb = set((y or "").split(" "))
-            inter = len(sa & sb)
-            union = len(sa | sb)
-            jac = inter / union if union else 1.0
-            out[k] = np.floor(jac * 1e6 + 0.5) / 1e6
+        # vectorized token-set Jaccard (single-space split = SQL
+        # string_split): dictionary-encode ALL tokens of the batch into one
+        # int code space, distinct per (row, side) via np.unique on a
+        # packed (row<<32|code) key, intersect per row — no Python loop
+        n = b.num_rows
+        ta = pc.fill_null(b["text_a"], "")
+        tb = pc.fill_null(b["text"], "")
+        la = pc.split_pattern(ta, " ")
+        lb = pc.split_pattern(tb, " ")
+        flat = pa.chunked_array(
+            [pc.list_flatten(la), pc.list_flatten(lb)]
+        ).combine_chunks()
+        codes_all = pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False)
+        counts_a = pc.list_value_length(la).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        counts_b = pc.list_value_length(lb).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        na_flat = int(counts_a.sum())
+        rows_a = np.repeat(np.arange(n, dtype=np.int64), counts_a)
+        rows_b = np.repeat(np.arange(n, dtype=np.int64), counts_b)
+        key_a = np.unique((rows_a << np.int64(32)) | codes_all[:na_flat])
+        key_b = np.unique((rows_b << np.int64(32)) | codes_all[na_flat:])
+        n_a = np.bincount(key_a >> np.int64(32), minlength=n)
+        n_b = np.bincount(key_b >> np.int64(32), minlength=n)
+        both = np.intersect1d(key_a, key_b, assume_unique=True)
+        inter = np.bincount(both >> np.int64(32), minlength=n)
+        union = n_a + n_b - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        out = np.floor(jac * 1e6 + 0.5) / 1e6
         return pa.table(
             {
                 "doc_id": pc.cast(b["doc_a"], pa.int64()),
