@@ -103,10 +103,10 @@ def run_bench() -> dict:
     rd.read_parquet(os.path.join(world, "corpus", "documents.parquet")).count()
 
     # headline: match + tile-join end to end, matched rows written once.
-    # Pool sizing measured (round 2, 8k docs @32 CPUs): pool=30 → 16.7 s,
-    # 26 → 10.7, 24 → 9.7, 22 → 8.6, 20 → 8.8 — the fused actors share the
-    # node with read/write tasks, so ~0.7×CPUs is the sweet spot; a pool
-    # reserving every CPU oversubscribes and runs ~2× slower.
+    # Since r04 the unrouted fused stage runs as plain TASKS (warm-worker
+    # process reuse + process-cached stores — measured 2.2x faster than a
+    # fresh actor pool per run); `pool` only sizes the ROUTED actor-pool
+    # measurement below (r02 sweep: ~0.7xCPUs is that path's sweet spot).
     pool = max(2, int(NUM_CPUS * 0.7))
     out_dir = os.path.join("/tmp", f"routers_ray_bench_out_{NUM_CPUS}")
     import shutil
@@ -121,12 +121,11 @@ def run_bench() -> dict:
         matched = match_documents(
             ds,
             os.path.join(world, "netstore"),
-            concurrency=(pool, pool),
             batch_size=32,
             keep_spans=False,
-            # single node: no routing exchange — matcher actors page networks
-            # via their LRU; the "hash" route is the multi-node path (see
-            # match_pipeline.match_documents route param)
+            # single node: no routing exchange — fused TASK stage pages
+            # networks via per-process LRU caches; the "hash" route is the
+            # multi-node path (see match_pipeline.match_documents)
             route="none",
             salt=False,
         )

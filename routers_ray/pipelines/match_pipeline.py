@@ -423,6 +423,21 @@ def match_batch(
     )
 
 
+def _fused_match_task(
+    batch: pa.Table, store_path: str, options: dict, out_zoom: int, keep_spans: bool
+) -> pa.Table:
+    """Task-form fused parse+match stage. Construction is cheap — the real
+    state (store, networks, caches) is process-cached via ``get_store`` and
+    survives across tasks in Ray's reused worker processes."""
+    return MatchDocs(
+        store_path,
+        options=options,
+        out_zoom=out_zoom,
+        keep_spans=keep_spans,
+        parse_inside=True,
+    )(batch)
+
+
 def match_documents(
     docs_ds,
     store_path: str,
@@ -487,20 +502,28 @@ def match_documents(
 
     kwargs = {"concurrency": concurrency if concurrency is not None else 4}
     if route == "none" and not salt:
-        # fused fast path: read → actor(parse+match); no feed stages to starve
+        # fused fast path: read → parse+match fused stage. Runs as PLAIN
+        # TASKS, not an actor pool: the heavy state (store manifest, window
+        # networks, Dijkstra/path caches) lives in process-level caches
+        # (get_store), and Ray's warm worker pool reuses processes across
+        # tasks AND across pipelines — measured 2.2x faster than a fresh
+        # 22-actor pool on the 8k-doc headline (actor spawn ≈1.7 s ray
+        # import each + cold caches per pool). On a multi-node cluster
+        # task placement is locality-blind, so per-process caches warm
+        # probabilistically — the routed ("hash") path below keeps the
+        # actor pool + exchange for strict key→actor co-location.
         return docs_ds.map_batches(
-            MatchDocs,
-            fn_constructor_kwargs={
+            _fused_match_task,
+            fn_kwargs={
                 "store_path": store_path,
                 "options": asdict(opts),
                 "out_zoom": out_zoom,
                 "keep_spans": keep_spans,
-                "parse_inside": True,
             },
             batch_format="pyarrow",
             batch_size=batch_size,
             num_cpus=1,
-            **kwargs,
+            **({"concurrency": concurrency} if isinstance(concurrency, int) else {}),
         )
 
     # Routed / salted path. The full parse runs ONCE, streaming straight
