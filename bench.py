@@ -103,11 +103,9 @@ def run_bench() -> dict:
     rd.read_parquet(os.path.join(world, "corpus", "documents.parquet")).count()
 
     # headline: match + tile-join end to end, matched rows written once.
-    # Since r04 the unrouted fused stage runs as plain TASKS (warm-worker
-    # process reuse + process-cached stores — measured 2.2x faster than a
-    # fresh actor pool per run); `pool` only sizes the ROUTED actor-pool
-    # measurement below (r02 sweep: ~0.7xCPUs is that path's sweet spot).
-    pool = max(2, int(NUM_CPUS * 0.7))
+    # Since r04 both the unrouted fused stage AND the routed consumption
+    # run as plain TASKS (warm-worker process reuse + process-cached
+    # stores — measured 2.2x faster than a fresh actor pool per run).
     out_dir = os.path.join("/tmp", f"routers_ray_bench_out_{NUM_CPUS}")
     import shutil
 
@@ -157,9 +155,10 @@ def run_bench() -> dict:
 
     # per-stage execution stats of the headline run (scheduling evidence:
     # wall time should sit in the MatchDocs actor stage, not the plumbing).
-    # Only refresh the committed artifact from runs at the bench scale —
-    # an sf0.01 spot check must not clobber the 80k-doc scaling snapshot.
-    if sf >= 0.1 or scaling_child:
+    # Only refresh the committed artifact from the 80k-doc scaling legs —
+    # a plain sf0.1 run (8k docs) or an sf0.01 spot check must not clobber
+    # the scaling snapshot pair (8cpu/32cpu must describe the SAME corpus).
+    if scaling_child:
         try:
             os.makedirs("BENCH", exist_ok=True)
             with open(os.path.join("BENCH", f"STATS_headline_{NUM_CPUS}cpu.txt"), "w") as f:
@@ -180,10 +179,11 @@ def run_bench() -> dict:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         ctx.max_hash_shuffle_aggregators = 4
         try:
-            # the pool must leave room for the 4 aggregator actors + feed
-            # tasks — an actor pool + aggregators exceeding the CPU count
-            # deadlocks the exchange (observed at 8 CPUs: 6 + 4 > 8)
-            pool_h = max(2, min(int(NUM_CPUS * 0.75), NUM_CPUS - 4 - 2))
+            # routed consumption runs as plain TASKS since r04 (the pool's
+            # round-robin gave no key affinity anyway; tasks keep block
+            # locality + warm process caches and skip the per-run pool
+            # spawn). The 4 aggregator actors still hold CPUs for the
+            # dataset's lifetime — keep them bounded.
             samples["match_hash_routed"] = []
             for _rep in range(N_REPS):
                 t0 = time.perf_counter()
@@ -193,7 +193,6 @@ def run_bench() -> dict:
                         override_num_blocks=max(NUM_CPUS * 4, 32),
                     ),
                     os.path.join(world, "netstore"),
-                    concurrency=(pool_h, pool_h),
                     batch_size=32,
                     keep_spans=False,
                     route="hash",

@@ -452,6 +452,7 @@ def match_documents(
     route_blocks: int = 64,
     salt_sample: float = 1.0,
     salt_map: dict | None = None,
+    exec_mode: str = "tasks",
 ):
     """docs Dataset → matched Dataset (status column distinguishes ok/error
     rows). Lazy end to end except the tiny salt pre-pass.
@@ -463,14 +464,27 @@ def match_documents(
       ``DataContext.shuffle_strategy = HASH_SHUFFLE``; bound
       ``ctx.max_hash_shuffle_aggregators`` to ~¼ of the CPUs — the default
       64 aggregator actors oversubscribe a single node); the scale path:
-      each matcher actor pages only its cells' networks;
+      each matcher worker pages only its blocks' networks;
     - ``"sort"`` — global sort on route_key (ordered blocks; more expensive
       and on this Ray version its output streams with poor downstream
       parallelism — kept for ordered-output runs);
-    - ``"none"`` — no exchange; actors rely on their network LRU (fine on a
+    - ``"none"`` — no exchange; workers rely on their network LRU (fine on a
       single node / small worlds, memory-heavier at cluster scale);
     - ``"auto"`` — "hash" when the hash shuffle strategy is active, else
       "none".
+
+    ``exec_mode`` picks how the routed match stage consumes the exchange:
+
+    - ``"tasks"`` (default) — plain tasks over the routed blocks. The
+      routing guarantee is per-BLOCK (each (cell, salt) lands in one block),
+      and Ray schedules a map task on the node holding its input block, so
+      co-location survives; heavy state rides the per-process LRU caches
+      exactly like the lean path. Measured ~2x faster than a fresh actor
+      pool per run (no pool spawn, warm worker reuse across runs).
+    - ``"actors"`` — a ``MatchDocs`` actor pool (also forced by a tuple
+      ``concurrency``). Note Ray Data's actor pool assigns blocks to actors
+      round-robin — there is no key→actor affinity to lose by choosing
+      tasks; the pool's value is a FIXED worker count for benchmarking.
     """
     store = get_store(store_path)
     opts = options or MatchOptions()
@@ -571,19 +585,36 @@ def match_documents(
     else:
         routed = anchored
 
-    matched = routed.map_batches(
-        MatchDocs,
-        fn_constructor_kwargs={
-            "store_path": store_path,
-            "options": asdict(opts),
-            "out_zoom": out_zoom,
-            "keep_spans": False,  # stripped before the exchange
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        num_cpus=1,
-        **kwargs,
-    )
+    if exec_mode == "tasks" and not isinstance(concurrency, tuple):
+        # task-form consumption of the exchange (see docstring): same
+        # per-block co-location, no pool spawn, process-cached state
+        matched = routed.map_batches(
+            _fused_match_task,
+            fn_kwargs={
+                "store_path": store_path,
+                "options": asdict(opts),
+                "out_zoom": out_zoom,
+                "keep_spans": False,  # stripped before the exchange
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=1,
+            **({"concurrency": concurrency} if isinstance(concurrency, int) else {}),
+        )
+    else:
+        matched = routed.map_batches(
+            MatchDocs,
+            fn_constructor_kwargs={
+                "store_path": store_path,
+                "options": asdict(opts),
+                "out_zoom": out_zoom,
+                "keep_spans": False,  # stripped before the exchange
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=1,
+            **kwargs,
+        )
     if not keep_spans:
         return matched
 

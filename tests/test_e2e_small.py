@@ -135,10 +135,12 @@ def test_salting_splits_hot_cell(world, ray_session):
     assert err < matched.count()
 
 
-def test_hash_route_equals_unrouted(world, ray_session):
+@pytest.mark.parametrize("exec_mode", ["tasks", "actors"])
+def test_hash_route_equals_unrouted(world, ray_session, exec_mode):
     """The multi-node routing exchange (repartition(keys=[route_key]) under
     HASH_SHUFFLE with bounded aggregators) produces the same matched rows
-    as the unrouted path."""
+    as the unrouted path — whether the exchange is consumed by plain tasks
+    (the r04 default: block-local, process-cached) or a MatchDocs pool."""
     import ray.data as rd
 
     try:
@@ -154,7 +156,7 @@ def test_hash_route_equals_unrouted(world, ray_session):
         ds = rd.read_parquet(world["paths"]["parquet"])
         routed = match_documents(
             ds, world["store"], concurrency=2, batch_size=16, keep_spans=False,
-            route="hash", route_blocks=4,
+            route="hash", route_blocks=4, exec_mode=exec_mode,
         )
         ds2 = rd.read_parquet(world["paths"]["parquet"])
         plain = match_documents(
