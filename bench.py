@@ -176,11 +176,21 @@ def run_bench() -> dict:
 
         prev_strategy = ctx.shuffle_strategy
         prev_aggs = ctx.max_hash_shuffle_aggregators
+        prev_agg_cpus = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         # r04 idle sweep (a4/a8/a16 x b32/b64, interleaved): ~16 aggregators
         # is ~15% faster than 4 at 32 CPUs once the match stage runs as
         # tasks (no pool to deadlock against); scale with the CPU count.
         ctx.max_hash_shuffle_aggregators = min(16, max(4, NUM_CPUS // 2))
+        # Ray's default gives each aggregator min(1, CPUs/2/partitions) CPU
+        # per partition x ceil(partitions/aggregators) — at 64 partitions /
+        # 16 aggregators on one 32-CPU node that is 1 FULL CPU per aggregator,
+        # i.e. half the node held idle by concat actors for the dataset's
+        # lifetime while the match tasks starve. The exchange's real work
+        # (concat of span-stripped blocks) is trivial; reserve 0.0625
+        # CPU/partition (0.25/aggregator, 4 total) so parse+match keep ~28 of
+        # 32 CPUs. Interleaved A/B (4 reps): 20-30% faster end-to-end.
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.0625
         try:
             # routed consumption runs as plain TASKS since r04 (the pool's
             # round-robin gave no key affinity anyway; tasks keep block
@@ -242,6 +252,7 @@ def run_bench() -> dict:
         finally:
             ctx.shuffle_strategy = prev_strategy
             ctx.max_hash_shuffle_aggregators = prev_aggs
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = prev_agg_cpus
 
     # checkpoint/resume overhead: cold checkpointed run vs manifest-hit rerun
     import ray.data as _rd

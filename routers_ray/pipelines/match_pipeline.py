@@ -463,8 +463,13 @@ def match_documents(
       exchange co-locating each (cell, salt) in one block (requires
       ``DataContext.shuffle_strategy = HASH_SHUFFLE``; bound
       ``ctx.max_hash_shuffle_aggregators`` to ~¼ of the CPUs — the default
-      64 aggregator actors oversubscribe a single node); the scale path:
-      each matcher worker pages only its blocks' networks;
+      64 aggregator actors oversubscribe a single node — AND set
+      ``ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override``
+      to ~0.0625: Ray's default reserves min(1, CPUs/2/partitions) CPU per
+      partition, which at 64 partitions on one 32-CPU node pins a full CPU
+      per aggregator — half the node idling in concat actors while the
+      match tasks starve); the scale path: each matcher worker pages only
+      its blocks' networks;
     - ``"sort"`` — global sort on route_key (ordered blocks; more expensive
       and on this Ray version its output streams with poor downstream
       parallelism — kept for ordered-output runs);
