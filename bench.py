@@ -423,14 +423,17 @@ def _write_baseline_md(report: dict) -> None:
         "",
         "Additional datapoints (not part of the criterion):",
         "",
-        "- the hash-routed exchange path (first-point salt pre-pass, span-stripped",
-        "  streaming parse into repartition(keys=[route_key]) under HASH_SHUFFLE with",
-        "  4 aggregators, fine salts) is measured every plain bench run as the",
-        "  `match_hash_routed` query — ~16-20 s on the 8k-doc world at 32 CPUs vs",
-        "  ~12 s for the fused lean headline. Single-node is this path's worst case",
-        "  (aggregators + exchange compete with the actor pool for the same 32 CPUs;",
-        "  on a multi-node cluster they spread and the lean path's all-cells-in-every-",
-        "  actor memory profile is what breaks instead).",
+        "- the hash-routed exchange path (persisted salt map, span-stripped",
+        "  streaming parse into repartition(keys=[route_key]) under HASH_SHUFFLE,",
+        "  ~CPUs/2 aggregators capped at 0.0625 CPU/partition, task-form",
+        "  consumption) is measured every plain bench run as the",
+        "  `match_hash_routed` query; its one-time anchor-count pre-pass is",
+        "  reported separately as `salt_prepass`. Single-node is this path's",
+        "  worst case (aggregators + exchange compete with the match tasks for",
+        "  the same 32 CPUs; on a multi-node cluster they spread and the lean",
+        "  path's all-cells-in-every-actor memory profile is what breaks",
+        "  instead) — the plain-bench JSON's `hash_vs_lean_ratio` tracks that",
+        "  single-node overhead as an upper bound.",
         "- round-1 soak: spans kept end to end + salting + hash exchange matched a",
         "  40k-doc corpus (1.30M rows) in 126 s at 32 CPUs.",
         "",
