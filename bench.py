@@ -205,26 +205,18 @@ def run_bench() -> dict:
             # Its one-time cost is reported separately as salt_prepass_sec;
             # the timed reps then measure exchange + match, which is what
             # recurs. Warm pre-pass is ~1/3 of a routed run (~4 s of 12 s).
-            import numpy as _np
-
-            from routers_ray.pipelines.match_pipeline import first_point_cells, get_store
+            from routers_ray.pipelines.match_pipeline import compute_salt_map, get_store
 
             _zoom = get_store(os.path.join(world, "netstore")).partition_zoom
             t0 = time.perf_counter()
-            _cnt = (
+            salt_map = compute_salt_map(
                 rd.read_parquet(
                     os.path.join(world, "corpus", "documents.parquet"),
                     override_num_blocks=max(NUM_CPUS * 4, 32),
-                )
-                .map_batches(lambda b: first_point_cells(b, _zoom), batch_format="pyarrow")
-                .groupby("anchor_cell")
-                .count()
-                .to_pandas()
+                ),
+                _zoom,
+                target_docs_per_salt=1000,
             )
-            salt_map = {
-                int(c): max(1, int(_np.ceil(n / 1000)))
-                for c, n in zip(_cnt["anchor_cell"], _cnt["count()"])
-            }
             timings["salt_prepass"] = round(time.perf_counter() - t0, 3)
             samples["match_hash_routed"] = []
             for _rep in range(N_REPS):

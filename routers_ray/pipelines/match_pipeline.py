@@ -113,6 +113,56 @@ def first_point_cells(batch: pa.Table, partition_zoom: int) -> pa.Table:
     )
 
 
+def anchor_cell_counts(batch: pa.Table, partition_zoom: int) -> pa.Table:
+    """Per-batch combiner for the salt pre-pass: (anchor_cell, n) partial
+    counts. The downstream groupby-sum then exchanges one row per distinct
+    cell per batch instead of one row per DOC — the pre-aggregation shape
+    every count in this repo uses (NOTES: groupby-count with no combiner
+    ships one row per input row)."""
+    t = first_point_cells(batch, partition_zoom)
+    cells, counts = np.unique(
+        t["anchor_cell"].to_numpy(zero_copy_only=False), return_counts=True
+    )
+    return pa.table(
+        {
+            "anchor_cell": pa.array(cells, pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def compute_salt_map(
+    docs_ds,
+    partition_zoom: int,
+    target_docs_per_salt: int = 2000,
+    salt_sample: float = 1.0,
+) -> dict[int, int] | None:
+    """anchor-cell → n_salts from the raw docs Dataset (the salt pre-pass).
+
+    Counts FIRST-point anchor cells only (one split per doc, no full
+    parse), pre-aggregated per batch, optionally over a sample. The result
+    is a driver-side dict by construction (it broadcasts into the anchor
+    stage); its size is bounded by the number of POPULATED partition
+    cells, not by doc count. Persist and reuse it across runs of the same
+    corpus family — a stale map costs balance, never correctness (the
+    match result is partitioning-invariant)."""
+    pre = docs_ds if salt_sample >= 1.0 else docs_ds.random_sample(salt_sample)
+    counts = (
+        pre.map_batches(
+            lambda b: anchor_cell_counts(b, partition_zoom), batch_format="pyarrow"
+        )
+        .groupby("anchor_cell")
+        .sum("n")
+        .to_pandas()
+    )
+    if len(counts) == 0 or "anchor_cell" not in counts.columns:
+        return None
+    return {
+        int(c): max(1, int(np.ceil(n / salt_sample / target_docs_per_salt)))
+        for c, n in zip(counts["anchor_cell"], counts["sum(n)"])
+    }
+
+
 def _hash_shuffle_enabled() -> bool:
     try:
         from ray.data import DataContext
@@ -562,18 +612,9 @@ def match_documents(
         # correctness
         salt_of_cell = {int(c): max(1, int(n)) for c, n in salt_map.items()}
     elif salt:
-        pre = docs_ds if salt_sample >= 1.0 else docs_ds.random_sample(salt_sample)
-        counts = (
-            pre.map_batches(lambda b: first_point_cells(b, zoom), batch_format="pyarrow")
-            .groupby("anchor_cell")
-            .count()
-            .to_pandas()
+        salt_of_cell = compute_salt_map(
+            docs_ds, zoom, target_docs_per_salt, salt_sample
         )
-        if len(counts) and "anchor_cell" in counts.columns:
-            salt_of_cell = {
-                int(c): max(1, int(np.ceil(n / salt_sample / target_docs_per_salt)))
-                for c, n in zip(counts["anchor_cell"], counts["count()"])
-            }
 
     def _parse_strip(b: pa.Table) -> pa.Table:
         out = parse_trajectories(b)

@@ -286,3 +286,35 @@ def test_salt_map_reuse_matches_pre_pass(ray_session):
     b = b.sort_values(key).reset_index(drop=True)
     assert a["edge_id"].tolist() == b["edge_id"].tolist()
     assert a["cost"].tolist() == b["cost"].tolist()
+
+
+def test_combiner_salt_map_equals_per_doc_count(ray_session):
+    """compute_salt_map's per-batch combiner (anchor_cell_counts → sum)
+    yields exactly the per-doc groupby-count salts, at every batch split —
+    the pre-aggregation only changes what moves through the exchange."""
+    import ray.data as rd
+
+    from routers_ray.network import NetworkStore, build_network_store
+    from routers_ray.pipelines.match_pipeline import (
+        compute_salt_map,
+        compute_salts,
+        first_point_cells,
+    )
+    from routers_ray.synth import synth_corpus, synth_network
+    import tempfile
+
+    nodes, edges = synth_network(seed=33, n_cities=2, grid=(8, 8))
+    docs = synth_corpus(n_docs=80, seed=33, network=(nodes, edges))
+    sd = tempfile.mkdtemp(prefix="saltcomb_store_")
+    build_network_store(nodes, edges, sd, use_ray=False)
+    zoom = NetworkStore(sd).partition_zoom
+
+    per_doc = rd.from_arrow(docs).map_batches(
+        lambda b: first_point_cells(b, zoom), batch_format="pyarrow"
+    )
+    want = compute_salts(per_doc, target_docs_per_salt=7)
+
+    for n_blocks in (1, 3, 16):
+        ds = rd.from_arrow(docs).repartition(n_blocks)
+        got = compute_salt_map(ds, zoom, target_docs_per_salt=7)
+        assert got == want, f"n_blocks={n_blocks}"
