@@ -98,12 +98,12 @@ def run_checkpointed(
     parsed = docs_ds.map_batches(parse_trajectories, batch_format="pyarrow")
     zoom = store.partition_zoom
 
-    from .pipelines.match_pipeline import compute_salts
+    from .pipelines.match_pipeline import compute_salt_map
 
-    pre = parsed.map_batches(lambda b: anchor_batch(b, zoom, None), batch_format="pyarrow")
-    salt_of_cell = compute_salts(
-        pre.select_columns(["doc_id", "anchor_cell"]), target_docs_per_salt
-    )
+    # first-point-only combiner pre-pass over the RAW docs (one split per
+    # doc, partial counts per batch) — same anchors as anchor_batch (both
+    # key on the first point), without paying a second full parse
+    salt_of_cell = compute_salt_map(docs_ds, zoom, target_docs_per_salt) or {}
     anchored = parsed.map_batches(
         lambda b: anchor_batch(b, zoom, salt_of_cell), batch_format="pyarrow"
     )
