@@ -30,6 +30,10 @@ R_EARTH = 6371008.8
 Z_CELL = 12
 Z_TILE = 15
 Z_CLUSTER = 5
+Z_RASTER = 2  # coarse zoom so the synthetic points actually share pixels
+RASTER_GRID = 32
+RUNS_GRID = 16
+RUNS_THRESHOLD = 2
 
 
 # ---------------------------------------------------------------------------
@@ -171,6 +175,82 @@ def sql_tile_rollup() -> str:
         f"WITH pts AS ({SQL_EVENT_PTS}), cells AS (SELECT {x} AS x, {y} AS y FROM pts) "
         f"SELECT CAST(floor(x/16) AS BIGINT) AS x8, CAST(floor(y/16) AS BIGINT) AS y8, COUNT(*) AS n "
         f"FROM cells GROUP BY 1, 2"
+    )
+
+
+def q_rasterize(sf_dir: str):
+    """Vector→raster: events binned into per-tile 32×32 pixel grids at
+    z=2 — the sparse raster rollup (per-batch pixel partials, one
+    groupby-sum; ``raster.rasterize_points``)."""
+    import ray.data as rd
+
+    from ..raster import pixel_partials
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _partials(b: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(np.asarray(b["event_id"]))
+        return pixel_partials(lon, lat, Z_RASTER, RASTER_GRID)
+
+    out = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["x", "y", "px", "py"])
+        .sum("n")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["x", "y", "px", "py", "n"]), batch_format="pyarrow"
+    )
+
+
+def _sql_raster_pixels(z: int, grid: int) -> str:
+    n = float(1 << z)
+    g = float(grid)
+    fx = f"((lon + 180.0)/360.0*{n})"
+    fy = f"((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0*{n})"
+    return (
+        f"SELECT CAST(floor({fx}) AS BIGINT) AS x, CAST(floor({fy}) AS BIGINT) AS y, "
+        f"CAST(floor(({fx} - floor({fx}))*{g}) AS BIGINT) AS px, "
+        f"CAST(floor(({fy} - floor({fy}))*{g}) AS BIGINT) AS py, "
+        f"COUNT(*) AS n FROM pts GROUP BY 1, 2, 3, 4"
+    )
+
+
+def sql_rasterize() -> str:
+    return f"WITH pts AS ({SQL_EVENT_PTS}) {_sql_raster_pixels(Z_RASTER, RASTER_GRID)}"
+
+
+def q_raster_runs(sf_dir: str):
+    """Raster→vector: horizontal run-length vectorization of the
+    thresholded z=2 / 16×16 raster — gaps-and-islands per (tile, row),
+    ONE tile-keyed exchange (``raster.vectorize_runs``: partials merge
+    inside the group, runs emitted as vector segments)."""
+    import ray.data as rd
+
+    from ..raster import pixel_partials, runs_of_tile
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _partials(b: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(np.asarray(b["event_id"]))
+        return pixel_partials(lon, lat, Z_RASTER, RUNS_GRID)
+
+    return (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .map_groups(lambda g: runs_of_tile(g, RUNS_THRESHOLD), batch_format="pyarrow")
+    )
+
+
+def sql_raster_runs() -> str:
+    return (
+        f"WITH pts AS ({SQL_EVENT_PTS}), "
+        f"pix AS ({_sql_raster_pixels(Z_RASTER, RUNS_GRID)}), "
+        f"thr AS (SELECT * FROM pix WHERE n >= {RUNS_THRESHOLD}), "
+        f"isl AS (SELECT x, y, py, px, n, "
+        f"px - ROW_NUMBER() OVER (PARTITION BY x, y, py ORDER BY px) AS island FROM thr) "
+        f"SELECT x, y, py, MIN(px) AS px0, MAX(px) AS px1, "
+        f"COUNT(*) AS npix, CAST(SUM(n) AS BIGINT) AS total "
+        f"FROM isl GROUP BY x, y, py, island"
     )
 
 
@@ -2224,6 +2304,8 @@ def registry() -> dict[str, tuple]:
         "cell_assign": (q_cell_assign, sql_cell_assign()),
         "tile_rollup": (q_tile_rollup, sql_tile_rollup()),
         "tile_project": (q_tile_project, sql_tile_project()),
+        "rasterize": (q_rasterize, sql_rasterize()),
+        "raster_runs": (q_raster_runs, sql_raster_runs()),
         "haversine_track": (q_haversine_track, sql_haversine_track()),
         "nn_station": (q_nn_station, sql_nn_station()),
         "pip_region": (q_pip_region, sql_pip_region()),
