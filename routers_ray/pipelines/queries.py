@@ -439,6 +439,99 @@ def sql_pip_region() -> str:
     """
 
 
+def _nation_polygons(sf_dir: str) -> dict[int, np.ndarray]:
+    """Deterministic simple (non-self-intersecting, concave, no
+    horizontal edge) heptagon per nation — integer-arithmetic vertices
+    so both engines hold bit-identical doubles. The 0.0005 offset keeps
+    the 3-decimal event grid off every vertex/edge lattice point."""
+    nation = papq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey"])
+    nkey = np.sort(np.asarray(nation["n_nationkey"], dtype=np.int64))
+    base = np.array(
+        [(0, -8), (2, -7), (7, -3), (5, 6), (0, 9), (-6, 5), (-7, -4)], dtype=np.float64
+    )
+    polys = {}
+    for k in nkey:
+        s = float(1 + k % 3)
+        cx = float(k * 14 - 168) + 0.0005
+        cy = float((k * 6) % 140 - 70) + 0.0005
+        polys[int(k)] = np.column_stack((cx + base[:, 0] * s, cy + base[:, 1] * s))
+    return polys
+
+
+def _pip_even_odd(lon: np.ndarray, lat: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd (crossing-number) containment — the formula is
+    textually identical to the SQL join predicate so the parity decision
+    is bit-exact in both engines (pure IEEE +,-,*,/ — no transcendentals)."""
+    inside = np.zeros(len(lon), dtype=np.int64)
+    x1s, y1s = verts[:, 0], verts[:, 1]
+    x2s, y2s = np.roll(verts[:, 0], -1), np.roll(verts[:, 1], -1)
+    for x1, y1, x2, y2 in zip(x1s, y1s, x2s, y2s):
+        crosses = (y1 > lat) != (y2 > lat)
+        xs = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        inside += (crosses & (lon < xs)).astype(np.int64)
+    return (inside % 2) == 1
+
+
+def q_pip_polygon(sf_dir: str):
+    """Point-in-POLYGON join (even-odd ray casting): events counted per
+    nation heptagon — broadcast polygon list, per-batch envelope
+    prefilter (the cell/R-tree stand-in) then the exact crossing test,
+    partial counts → one small groupby. Reference: the tz polygon
+    backends' R-tree + containment (``libs/routers_tz``, SURVEY §2.2)."""
+    import ray.data as rd
+
+    polys = _nation_polygons(sf_dir)
+    boxes = {k: (v[:, 0].min(), v[:, 0].max(), v[:, 1].min(), v[:, 1].max()) for k, v in polys.items()}
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _pip(b: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(np.asarray(b["event_id"]))
+        keys, counts = [], []
+        for k, verts in polys.items():
+            w, e, s, n = boxes[k]
+            env = (lon >= w) & (lon <= e) & (lat >= s) & (lat <= n)
+            if not env.any():
+                continue
+            m = int(_pip_even_odd(lon[env], lat[env], verts).sum())
+            if m:
+                keys.append(k)
+                counts.append(m)
+        return pa.table(
+            {
+                "poly": pa.array(np.asarray(keys, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.asarray(counts, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_pip, batch_format="pyarrow").groupby("poly").sum("n")
+    return out.map_batches(lambda t: t.rename_columns(["poly", "n"]), batch_format="pyarrow")
+
+
+def sql_pip_polygon(sf_dir: str = "/root/testdata/sf0.001") -> str:
+    polys = _nation_polygons(sf_dir)
+    rows = []
+    for k, verts in polys.items():
+        x2 = np.roll(verts[:, 0], -1)
+        y2 = np.roll(verts[:, 1], -1)
+        for (vx, vy), ex, ey in zip(verts, x2, y2):
+            rows.append(f"({k}, {vx!r}, {vy!r}, {ex!r}, {ey!r})")
+    edges = ", ".join(rows)
+    return f"""
+    WITH pts AS ({SQL_EVENT_PTS}),
+    edges(poly, x1, y1, x2, y2) AS (VALUES {edges}),
+    hits AS (
+      SELECT p.event_id, e.poly
+      FROM pts p JOIN edges e
+        ON ((e.y1 > p.lat) != (e.y2 > p.lat))
+       AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+      GROUP BY p.event_id, e.poly
+      HAVING COUNT(*) % 2 = 1
+    )
+    SELECT poly, COUNT(*) AS n FROM hits GROUP BY poly
+    """
+
+
 def q_cluster_cells(sf_dir: str):
     """Cell-grouped clustering: cells (z10) holding ≥3 points become a
     cluster row with exact-integer centroid sums — the reference's
@@ -2309,6 +2402,9 @@ def registry() -> dict[str, tuple]:
         "haversine_track": (q_haversine_track, sql_haversine_track()),
         "nn_station": (q_nn_station, sql_nn_station()),
         "pip_region": (q_pip_region, sql_pip_region()),
+        # nation is the fixed 25-row TPC-H table at every sf, so the
+        # polygon VALUES literal is sf-invariant
+        "pip_polygon": (q_pip_polygon, sql_pip_polygon()),
         "cluster_cells": (q_cluster_cells, sql_cluster_cells()),
         "agg_pricing": (q_agg_pricing, sql_agg_pricing()),
         "top_customers": (q_top_customers, sql_top_customers()),

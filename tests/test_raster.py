@@ -192,3 +192,19 @@ def test_sum_tile_pixels_merges_partials():
     blob = grid_blob_of_tile(g, 8)
     dense = decode_grid(blob["grid"][0].as_py(), 8)
     assert dense[2, 5] == 7 and dense[2, 6] == 1 and dense.sum() == 8
+
+
+def test_pip_even_odd_known_points():
+    from routers_ray.pipelines.queries import _pip_even_odd
+
+    # concave polygon: square with a triangular notch cut into the LEFT
+    # side (vertices (0,0.1)-(0,3.9)-(2,2) are carved out)
+    verts = np.array(
+        [(0.0, 0.1), (4.0, -0.1), (4.0, 4.1), (0.0, 3.9), (2.0, 2.0)],
+        dtype=np.float64,
+    )
+    lon = np.array([1.0, 3.5, 2.0, 0.5, -1.0, 5.0])
+    lat = np.array([3.0, 2.0, 3.5, 2.0, 2.0, 2.0])
+    # (0.5, 2.0) sits inside the notch triangle: outside the polygon
+    got = _pip_even_odd(lon, lat, verts)
+    assert list(got) == [True, True, True, False, False, False]
