@@ -254,6 +254,54 @@ def sql_raster_runs() -> str:
     )
 
 
+def q_raster_pyramid(sf_dir: str):
+    """Raster zoom-pyramid: the z=2 raster sum-pooled 2×2 into its z=1
+    parent tiles — compaction up the pyramid in GLOBAL pixel space
+    (X = x·grid + px; parent X = X>>1), the raster analogue of
+    ``tile_rollup`` / ``fragment.rs:35-47``."""
+    import ray.data as rd
+
+    from ..raster import pixel_partials
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _partials(b: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(np.asarray(b["event_id"]))
+        t = pixel_partials(lon, lat, Z_RASTER, RASTER_GRID)
+        gx = t["x"].to_numpy() * RASTER_GRID + t["px"].to_numpy()
+        gy = t["y"].to_numpy() * RASTER_GRID + t["py"].to_numpy()
+        pgx, pgy = gx >> 1, gy >> 1
+        return pa.table(
+            {
+                "x": pa.array(pgx // RASTER_GRID, pa.int64()),
+                "y": pa.array(pgy // RASTER_GRID, pa.int64()),
+                "px": pa.array(pgx % RASTER_GRID, pa.int64()),
+                "py": pa.array(pgy % RASTER_GRID, pa.int64()),
+                "n": pa.array(t["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["x", "y", "px", "py"])
+        .sum("n")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["x", "y", "px", "py", "n"]), batch_format="pyarrow"
+    )
+
+
+def sql_raster_pyramid() -> str:
+    g = RASTER_GRID
+    return (
+        f"WITH pts AS ({SQL_EVENT_PTS}), "
+        f"pix AS ({_sql_raster_pixels(Z_RASTER, RASTER_GRID)}), "
+        f"gpix AS (SELECT (x*{g} + px)//2 AS pgx, (y*{g} + py)//2 AS pgy, n FROM pix) "
+        f"SELECT pgx//{g} AS x, pgy//{g} AS y, pgx%{g} AS px, pgy%{g} AS py, "
+        f"CAST(SUM(n) AS BIGINT) AS n FROM gpix GROUP BY 1, 2, 3, 4"
+    )
+
+
 def q_tile_project(sf_dir: str):
     """Slippy tile + in-tile MVT offset + zig-zag encoding per point
     (``project.rs:47-74``, ``layer.rs:78-80``)."""
@@ -2399,6 +2447,7 @@ def registry() -> dict[str, tuple]:
         "tile_project": (q_tile_project, sql_tile_project()),
         "rasterize": (q_rasterize, sql_rasterize()),
         "raster_runs": (q_raster_runs, sql_raster_runs()),
+        "raster_pyramid": (q_raster_pyramid, sql_raster_pyramid()),
         "haversine_track": (q_haversine_track, sql_haversine_track()),
         "nn_station": (q_nn_station, sql_nn_station()),
         "pip_region": (q_pip_region, sql_pip_region()),
