@@ -436,6 +436,64 @@ def sql_nn_station() -> str:
     """
 
 
+def q_knn_station(sf_dir: str):
+    """k-NN broadcast join (k=3): the kNN candidate-search pattern —
+    small side broadcast, per-batch vectorized distance matrix, stable
+    partial top-k per point, no shuffle (``routers_network``
+    ``edges_at_distance`` k-candidate scan generalized to k-NN)."""
+    import ray.data as rd
+
+    K = 3
+    nation = papq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey"])
+    skey = np.sort(np.asarray(nation["n_nationkey"], dtype=np.int64))
+    s_lon = ((skey * 131) % 360 - 180 + 0.5).astype(np.float64)
+    s_lat = ((skey * 37) % 160 - 80 + 0.5).astype(np.float64)
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _knn(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        lon, lat = event_lonlat(eid)
+        d = hav_m(lon[:, None], lat[:, None], s_lon[None, :], s_lat[None, :])
+        # stations are key-ascending columns, so a stable sort breaks
+        # distance ties on the lowest station_id — the SQL's (d, id) order
+        top = np.argsort(d, axis=1, kind="stable")[:, :K]
+        rows = np.repeat(eid, K)
+        rk = np.tile(np.arange(1, K + 1, dtype=np.int64), eid.size)
+        flat = top.ravel()
+        return pa.table(
+            {
+                "event_id": pa.array(rows, pa.int64()),
+                "rk": pa.array(rk, pa.int64()),
+                "station_id": pa.array(skey[flat], pa.int64()),
+                "dist_m": pa.array(
+                    r3(d[np.repeat(np.arange(eid.size), K), flat]), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_knn, batch_format="pyarrow")
+
+
+def sql_knn_station() -> str:
+    hav = SQL_HAV("s.slon", "s.slat", "p.lon", "p.lat")
+    return f"""
+    WITH pts AS ({SQL_EVENT_PTS}),
+    st AS (
+      SELECT n_nationkey AS station_id,
+             CAST((n_nationkey*131) % 360 - 180 AS DOUBLE) + 0.5 AS slon,
+             CAST((n_nationkey*37) % 160 - 80 AS DOUBLE) + 0.5 AS slat
+      FROM nation
+    ),
+    ranked AS (
+      SELECT p.event_id, s.station_id, {hav} AS d,
+             row_number() OVER (PARTITION BY p.event_id ORDER BY {hav}, s.station_id) AS rk
+      FROM pts p CROSS JOIN st s
+    )
+    SELECT event_id, rk, station_id, floor(d*1000 + 0.5)/1000 AS dist_m FROM ranked WHERE rk <= 3
+    """
+
+
 def q_pip_region(sf_dir: str):
     """Point-in-polygon (rectangle) join: events counted per region box —
     broadcast ranges + vectorized mask (no shuffle)."""
@@ -2450,6 +2508,7 @@ def registry() -> dict[str, tuple]:
         "raster_pyramid": (q_raster_pyramid, sql_raster_pyramid()),
         "haversine_track": (q_haversine_track, sql_haversine_track()),
         "nn_station": (q_nn_station, sql_nn_station()),
+        "knn_station": (q_knn_station, sql_knn_station()),
         "pip_region": (q_pip_region, sql_pip_region()),
         # nation is the fixed 25-row TPC-H table at every sf, so the
         # polygon VALUES literal is sf-invariant
