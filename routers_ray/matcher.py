@@ -71,6 +71,12 @@ class MatchOptions:
     emission_error_m: float = DEFAULT_EMISSION_ERROR_M
     threshold_cm: float = DEFAULT_THRESHOLD_CM
     fanout: int | None = None  # None = AllCompute; k = Selective (selective.rs:20-89)
+    # adaptive candidate reduction: keep only the k nearest candidates per
+    # point (ties on original (edge_id, dir) order). OPT-IN — it changes
+    # results, so it ships with its own oracled query (`match_capped`),
+    # never as a default. Cuts the weigh kernel's pair count ~quadratically
+    # in dense-city layers (the NOTES "adaptive radius" lever).
+    max_candidates: int | None = None
     drop_unanchored: bool = False  # streaming mode drops, batch mode rejects
     max_layers: int | None = None  # Trip::tail windowing bound
     compute_convergence: bool = False  # report the safe stream-emit cut layer
@@ -139,6 +145,29 @@ class MatchResult:
     converged_layer: int | None = None  # latest prefix-stable layer (viterbi.rs:164-247)
 
 
+def _cap_candidates(offsets, rows, frac, px, py, dist, cap: int | None):
+    """Keep the ``cap`` nearest candidates per layer (stable (dist,
+    original-order) selection, kept elements stay in original ascending
+    (edge_id, dir) order). Fully vectorized: one lexsort over all
+    candidates, no per-layer Python loop."""
+    sizes = np.diff(offsets)
+    if cap is None or sizes.size == 0 or (sizes.size and sizes.max() <= cap):
+        return offsets, rows, frac, px, py, dist
+    n = rows.size
+    layer_of = np.repeat(np.arange(sizes.size, dtype=np.int64), sizes)
+    idx = np.arange(n, dtype=np.int64)
+    perm = np.lexsort((idx, dist, layer_of))  # layer, then dist, then order
+    # rank within the layer along the sorted permutation (layer blocks in
+    # perm are contiguous and keep their sizes)
+    starts = np.concatenate(([0], np.cumsum(sizes)))
+    rank_sorted = np.arange(n, dtype=np.int64) - np.repeat(starts[:-1], sizes)
+    keep = np.ones(n, dtype=bool)
+    keep[perm[rank_sorted >= cap]] = False
+    new_sizes = np.minimum(sizes, cap)
+    new_offsets = np.concatenate(([0], np.cumsum(new_sizes))).astype(np.int64)
+    return new_offsets, rows[keep], frac[keep], px[keep], py[keep], dist[keep]
+
+
 def generate_layers(net: CellNetwork, lons, lats, opts: MatchOptions) -> list[Layer]:
     """Candidate layers for every trajectory point (standard generator) —
     one batched geometric pass for the whole trajectory. A custom
@@ -149,6 +178,9 @@ def generate_layers(net: CellNetwork, lons, lats, opts: MatchOptions) -> list[La
     lons = np.asarray(lons, dtype=np.float64)
     lats = np.asarray(lats, dtype=np.float64)
     offsets, rows, frac, px, py, dist = net.candidates_batch(lons, lats, opts.search_distance_m)
+    offsets, rows, frac, px, py, dist = _cap_candidates(
+        offsets, rows, frac, px, py, dist, opts.max_candidates
+    )
     emis_fn = opts.emission if opts.emission is not None else (
         lambda d, o: emission_cost(d, o.emission_error_m)
     )
@@ -874,6 +906,9 @@ def match_trajectories(
     flat_lat = np.concatenate(all_lats)
     offsets, rows, frac, px, py, dist = net.candidates_batch(
         flat_lon, flat_lat, opts.search_distance_m
+    )
+    offsets, rows, frac, px, py, dist = _cap_candidates(
+        offsets, rows, frac, px, py, dist, opts.max_candidates
     )
     emis = (
         emission_cost(dist, opts.emission_error_m).astype(np.int64)

@@ -171,12 +171,18 @@ def _parse_doc_points(spans) -> tuple[list[float], list[float]]:
     return lons, lats
 
 
-def expected_match_table(world: dict, out_zoom: int = 15) -> tuple[pa.Table, pa.Table]:
+def expected_match_table(
+    world: dict, out_zoom: int = 15, max_candidates: int | None = None
+) -> tuple[pa.Table, pa.Table]:
     """(rounded q_match-shaped table, unrounded snap table for tiles).
 
     Matches the q_match contract: ok rows only, columns (doc_id, seq,
     edge_id, dir, src, dst, snap_lon, snap_lat, cost, cell) with r6 snaps
     and int64 casts.
+
+    ``max_candidates`` applies the adaptive candidate cap with an
+    INDEPENDENT scalar selection (pure-Python sort by (dist, index) per
+    layer) — it does not reuse ``matcher._cap_candidates``.
     """
     from .matcher import MatchOptions, _TrajectoryContext, generate_layers
     from .network import NetworkStore
@@ -199,6 +205,30 @@ def expected_match_table(world: dict, out_zoom: int = 15) -> tuple[pa.Table, pa.
             buffer_m=buffer_m, search_radius_m=opts.search_distance_m,
         )
         layers = generate_layers(net, np.asarray(lons), np.asarray(lats), opts)
+        if max_candidates is not None:
+            from .matcher import Layer
+
+            capped = []
+            for ly in layers:
+                if ly.edge_rows.size <= max_candidates:
+                    capped.append(ly)
+                    continue
+                nearest = sorted(
+                    range(ly.edge_rows.size),
+                    key=lambda i: (float(ly.dist_m[i]), i),
+                )[:max_candidates]
+                keep = sorted(nearest)  # original (edge_id, dir) order
+                capped.append(
+                    Layer(
+                        edge_rows=ly.edge_rows[keep],
+                        frac=ly.frac[keep],
+                        pos_lon=ly.pos_lon[keep],
+                        pos_lat=ly.pos_lat[keep],
+                        dist_m=ly.dist_m[keep],
+                        emission=ly.emission[keep],
+                    )
+                )
+            layers = capped
         if any(ly.edge_rows.size == 0 for ly in layers):
             continue  # batch-mode unanchored reject → error row only
         ctx = _TrajectoryContext(net, layers, opts)
@@ -289,16 +319,18 @@ def expected_tiles_table(unrounded: pa.Table, zooms: list[int]) -> pa.Table:
     )
 
 
-_EXPECTED_PATHS: dict[int, dict[str, str]] = {}
+_EXPECTED_PATHS: dict[tuple[int, int | None], dict[str, str]] = {}
 
 
-def expected_parquet_paths(world: dict, n_docs: int, zooms=(10, 13)) -> dict[str, str]:
+def expected_parquet_paths(
+    world: dict, n_docs: int, zooms=(10, 13), max_candidates: int | None = None
+) -> dict[str, str]:
     """Compute + write the expected match/tiles parquet once per process;
     returns {'match': path, 'match_tiles': path} for the oracle SQL."""
-    hit = _EXPECTED_PATHS.get(n_docs)
+    hit = _EXPECTED_PATHS.get((n_docs, max_candidates))
     if hit is not None:
         return hit
-    rounded, unrounded = expected_match_table(world)
+    rounded, unrounded = expected_match_table(world, max_candidates=max_candidates)
     tiles = expected_tiles_table(unrounded, list(zooms))
     out = tempfile.mkdtemp(prefix="routers_ray_oracle_")
     paths = {
@@ -307,7 +339,7 @@ def expected_parquet_paths(world: dict, n_docs: int, zooms=(10, 13)) -> dict[str
     }
     pq.write_table(rounded, paths["match"])
     pq.write_table(tiles, paths["match_tiles"])
-    _EXPECTED_PATHS[n_docs] = paths
+    _EXPECTED_PATHS[(n_docs, max_candidates)] = paths
     return paths
 
 

@@ -2179,6 +2179,63 @@ def sql_match() -> str:
     )
 
 
+CAPPED_K = 6  # binding on the match world (layer sizes: p50 8, max 16)
+
+
+def q_match_capped(sf_dir: str):
+    """Adaptive candidate reduction: the flagship match with
+    ``MatchOptions(max_candidates=6)`` — only the 6 nearest candidates
+    per point enter the trellis (the dense-city "adaptive radius" lever;
+    pair work drops ~quadratically). OPT-IN semantics, so it carries its
+    own oracle; the default `match` stays uncapped."""
+    import ray.data as rd
+
+    from ..matcher import MatchOptions
+    from .match_pipeline import match_documents, matched_ok
+
+    w = _match_world()
+    ds = rd.read_parquet(w["paths"]["parquet"])
+    matched = match_documents(
+        ds,
+        w["store"],
+        options=MatchOptions(max_candidates=CAPPED_K),
+        concurrency=2,
+        batch_size=64,
+        keep_spans=False,
+    )
+    ok = matched_ok(matched)
+    return ok.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "seq": pc.cast(t["seq"], pa.int64()),
+                "edge_id": t["edge_id"],
+                "dir": pc.cast(t["dir"], pa.int64()),
+                "src": t["src"],
+                "dst": t["dst"],
+                "snap_lon": pa.array(r6(np.asarray(t["snap_lon"])), pa.float64()),
+                "snap_lat": pa.array(r6(np.asarray(t["snap_lat"])), pa.float64()),
+                "cost": pc.cast(t["cost"], pa.int64()),
+                "cell": pc.cast(t["cell"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sql_match_capped() -> str:
+    """Expected rows recomputed with the INDEPENDENT scalar cap (pure-
+    Python (dist, index) sort per layer in oracle_match) + pure-Python
+    Viterbi — lazy like sql_match."""
+    from ..oracle_match import expected_parquet_paths
+
+    p = expected_parquet_paths(_match_world(), 120, max_candidates=CAPPED_K)
+    return (
+        "SELECT doc_id, seq, edge_id, dir, src, dst, snap_lon, snap_lat, "
+        f"cost, cell FROM read_parquet('{p['match']}')"
+    )
+
+
 def sql_match_tiles() -> str:
     """Oracle SQL for the tile materialization — expected tiles built by an
     independent scalar slippy/FNV-1a/splitmix64/Hilbert path over the
@@ -2543,6 +2600,7 @@ def registry() -> dict[str, tuple]:
         # sql side is a LAZY callable (expected-parquet generation is paid
         # only when an oracle consumer resolves it)
         "match": (q_match, sql_match),
+        "match_capped": (q_match_capped, sql_match_capped),
         "match_tiles": (q_match_tiles, sql_match_tiles),
         "tiles_dated": (q_tiles_dated, sql_tiles_dated()),
         "transport_access": (q_transport_access, sql_transport_access()),
