@@ -494,6 +494,34 @@ def sql_knn_station() -> str:
     """
 
 
+def q_hll_users(sf_dir: str):
+    """HyperLogLog register sketch of distinct users (p=10): per-batch
+    bounded register partials → one tiny ``groupby(reg).max(rho)`` — the
+    approximate-COUNT-DISTINCT shape for 10^12 rows. The register table
+    is exact in both engines (md5-u64 + trailing-zero rank, see
+    :mod:`routers_ray.sketch`); the float estimate is checked in pytest
+    against exact distinct within the theoretical error."""
+    import ray.data as rd
+
+    from ..sketch import hll_sketch
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+    return hll_sketch(ds, lambda b: [str(u) for u in b["user_id"].to_pylist()], p=10)
+
+
+def sql_hll_users() -> str:
+    # (~w) + 1 NEEDS the parens: DuckDB binds ~ looser than +, so the
+    # bare ~w + 1 parses as ~(w + 1) and isolates the wrong bit
+    return """
+    WITH h AS (SELECT md5_number_upper(CAST(user_id AS VARCHAR)) AS hv FROM events),
+    r AS (SELECT CAST(hv & 1023 AS BIGINT) AS reg, hv >> 10 AS w FROM h)
+    SELECT reg,
+           MAX(CASE WHEN w = 0 THEN 55
+               ELSE CAST(log2(CAST(greatest(w & ((~w) + 1), 1) AS DOUBLE)) AS BIGINT) + 1 END) AS rho
+    FROM r GROUP BY reg
+    """
+
+
 def q_pip_region(sf_dir: str):
     """Point-in-polygon (rectangle) join: events counted per region box —
     broadcast ranges + vectorized mask (no shuffle)."""
@@ -2575,6 +2603,7 @@ def registry() -> dict[str, tuple]:
         "top_customers": (q_top_customers, sql_top_customers()),
         "events_window": (q_events_window, sql_events_window()),
         "distinct_users": (q_distinct_users, sql_distinct_users()),
+        "hll_users": (q_hll_users, sql_hll_users()),
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
         "token_stats": (q_token_stats, sql_token_stats()),
         "token_bpe": (q_token_bpe, sql_token_bpe()),

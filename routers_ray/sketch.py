@@ -1,0 +1,108 @@
+"""Mergeable cardinality sketch (HyperLogLog) as a Ray Data stage.
+
+The 100-TB shape for approximate ``COUNT(DISTINCT ...)``: per-batch
+register partials (a bounded ``m = 2^p`` array regardless of input
+size) → one tiny ``groupby(reg).max(rho)`` — the exchange moves at most
+``m`` rows per batch, and sketches merge by elementwise register max,
+so any partitioning / run order yields the BIT-IDENTICAL sketch.
+
+Hashing is the repo's md5-u64 convention (first 8 md5 digest bytes
+little-endian == DuckDB ``md5_number_upper``), so the register table
+itself is exactly SQL-expressible and the driver oracle checks the
+sketch bit-for-bit; only the float estimate stays engine-side (checked
+in tests against DuckDB's exact distinct within the theoretical error).
+
+Rank variant: ``rho = 1 + trailing_zeros(h >> p)`` (trailing- instead
+of leading-zero rank — the same geometric observable over uniform hash
+bits, and exact in both engines via ``log2`` of the isolated low bit, a
+power of two that float64 represents exactly).
+
+Reference scope note: the reference engine has no sketches; this is a
+"beyond the reference" training-data operator (SURVEY §2.5 metrics
+family). Estimator constants follow Flajolet et al., "HyperLogLog: the
+analysis of a near-optimal cardinality estimation algorithm" (AofA 2007),
+with the standard small-range linear-counting correction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["hll_partials", "hll_sketch", "hll_merge", "hll_estimate", "md5_u64"]
+
+
+def md5_u64(values: list[str]) -> np.ndarray:
+    """First 8 md5 digest bytes little-endian — == DuckDB md5_number_upper."""
+    return np.frombuffer(
+        b"".join(hashlib.md5(v.encode("utf-8")).digest()[:8] for v in values),
+        dtype=np.uint64,
+    )
+
+
+def hll_partials(hashes: np.ndarray, p: int = 10) -> pa.Table:
+    """One batch's sparse register partials: (reg, rho) with per-batch max.
+
+    ``reg`` is the low ``p`` hash bits; ``rho`` the trailing-zero rank of
+    the remaining bits (+1), with the all-zero remainder pinned to
+    ``64 - p + 1``. Bounded output: at most ``2^p`` rows per batch.
+    """
+    h = np.asarray(hashes, dtype=np.uint64)
+    m = np.uint64((1 << p) - 1)
+    reg = (h & m).astype(np.int64)
+    w = h >> np.uint64(p)
+    with np.errstate(over="ignore"):
+        lowbit = w & (~w + np.uint64(1))
+    # log2 of an isolated bit is an exact float64 integer
+    rho = np.where(
+        w == 0,
+        np.int64(64 - p + 1),
+        np.log2(np.maximum(lowbit, np.uint64(1)).astype(np.float64)).astype(np.int64)
+        + np.int64(1),
+    )
+    dense = np.zeros(1 << p, dtype=np.int64)
+    np.maximum.at(dense, reg, rho)
+    hit = np.flatnonzero(dense)
+    return pa.table(
+        {
+            "reg": pa.array(hit.astype(np.int64), pa.int64()),
+            "rho": pa.array(dense[hit], pa.int64()),
+        }
+    )
+
+
+def hll_sketch(ds, value_fn, p: int = 10):
+    """Dataset → sparse sketch Dataset (reg, rho): per-batch partials then
+    ``groupby(reg).max(rho)``. ``value_fn(batch) -> list[str]`` extracts
+    the hashed strings."""
+
+    def _partials(b: pa.Table) -> pa.Table:
+        return hll_partials(md5_u64(value_fn(b)), p)
+
+    out = ds.map_batches(_partials, batch_format="pyarrow").groupby("reg").max("rho")
+    return out.map_batches(
+        lambda t: t.rename_columns(["reg", "rho"]), batch_format="pyarrow"
+    )
+
+
+def hll_merge(sparse_tables: list[pa.Table], p: int = 10) -> np.ndarray:
+    """Sketches merge by elementwise register max → dense register array."""
+    dense = np.zeros(1 << p, dtype=np.int64)
+    for t in sparse_tables:
+        reg = np.asarray(t["reg"], dtype=np.int64)
+        rho = np.asarray(t["rho"], dtype=np.int64)
+        np.maximum.at(dense, reg, rho)
+    return dense
+
+
+def hll_estimate(dense: np.ndarray) -> float:
+    """Flajolet raw estimator + linear counting below the 2.5m knee."""
+    m = dense.size
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    raw = alpha * m * m / np.sum(np.float64(2.0) ** (-dense.astype(np.float64)))
+    zeros = int(np.count_nonzero(dense == 0))
+    if raw <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))
+    return float(raw)

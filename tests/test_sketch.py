@@ -1,0 +1,66 @@
+"""HyperLogLog sketch: merge invariance, estimator accuracy, conventions."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from routers_ray.sketch import hll_estimate, hll_merge, hll_partials, md5_u64
+
+
+def test_md5_u64_matches_duckdb_number_upper():
+    import duckdb
+
+    vals = ["12", "hello", "doc-42-000000", ""]
+    got = md5_u64(vals)
+    want = duckdb.sql(
+        "SELECT md5_number_upper(v) FROM (SELECT unnest(?) AS v)", params=[vals]
+    ).fetchnumpy()
+    key = list(want.keys())[0]
+    assert np.array_equal(got, want[key].astype(np.uint64))
+
+
+def test_partials_merge_invariance():
+    rng = np.random.default_rng(5)
+    h = rng.integers(0, 2**63, 50_000, dtype=np.int64).astype(np.uint64)
+    whole = hll_merge([hll_partials(h, 10)], 10)
+    parts = [hll_partials(c, 10) for c in np.array_split(h, 7)]
+    assert np.array_equal(whole, hll_merge(parts, 10))
+
+
+def test_estimate_within_theoretical_error():
+    rng = np.random.default_rng(11)
+    for n in (500, 5_000, 40_000):
+        vals = [f"user-{i}" for i in range(n)]
+        # duplicates must not move the sketch
+        dup = vals + [vals[i] for i in rng.integers(0, n, n // 2)]
+        dense = hll_merge([hll_partials(md5_u64(dup), 10)], 10)
+        est = hll_estimate(dense)
+        # 1.04/sqrt(1024) ~ 3.25% std err; allow 4 sigma
+        assert abs(est - n) / n < 0.13, (n, est)
+
+
+def test_rho_pinned_values():
+    # hash = reg bits only (w = 0) -> rho = 55; low bit of w at position k
+    p = 10
+    t = hll_partials(np.array([3], dtype=np.uint64), p).to_pandas()
+    assert list(t["reg"]) == [3] and list(t["rho"]) == [55]
+    h = np.array([(1 << 10) | 5], dtype=np.uint64)  # w = 1 -> rho 1
+    t = hll_partials(h, p).to_pandas()
+    assert list(t["reg"]) == [5] and list(t["rho"]) == [1]
+    h = np.array([(1 << 17) | 9], dtype=np.uint64)  # w = 128 -> rho 8
+    t = hll_partials(h, p).to_pandas()
+    assert list(t["reg"]) == [9] and list(t["rho"]) == [8]
+
+
+def test_sketch_query_estimate_vs_exact(ray_session):
+    import duckdb
+
+    from routers_ray.pipelines.queries import q_hll_users
+
+    sf = "/root/testdata/sf0.01"
+    sparse = pa.Table.from_pandas(q_hll_users(sf).to_pandas())
+    est = hll_estimate(hll_merge([sparse], 10))
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) c FROM read_parquet('{sf}/events.parquet')"
+    ).df()["c"][0]
+    assert abs(est - exact) / exact < 0.13, (est, exact)
