@@ -354,8 +354,29 @@ def run_bench() -> dict:
         "ann_recall_at_10": ann_recall,
         "percore_warm_docs_per_sec": percore,
         "lean_route_decision": route_decision,
+        # ratio = routed/lean is INVERSELY sensitive to lean speedups: the
+        # r04 matcher work roughly halved the lean denominator (4.4 s →
+        # 2.4-3.3 s idle) while the routed leg's absolute exchange cost
+        # stayed put, so the ratio drifts up as the engine gets FASTER.
+        # routed_overhead_sec (routed − lean) is the denominator-free
+        # statement of the single-node exchange cost; the r04 idle sweeps
+        # (knobs: blocks 16-128, salts 125-1000 docs, aggregators 4-16,
+        # shuffle output block split) all land within noise of the
+        # defaults — the residual is the shuffle barrier + ~#distinct
+        # (cell,salt) keys capping match parallelism, which is exactly
+        # the part that spreads across nodes at cluster scale.
         "hash_vs_lean_ratio": (
             round(timings["match_hash_routed"] / timings["match_tiles"], 3)
+            if "match_hash_routed" in timings
+            else None
+        ),
+        "routed_overhead_sec": (
+            round(timings["match_hash_routed"] - timings["match_tiles"], 3)
+            if "match_hash_routed" in timings
+            else None
+        ),
+        "routed_docs_per_sec": (
+            round(n_ok_docs / timings["match_hash_routed"], 2)
             if "match_hash_routed" in timings
             else None
         ),
