@@ -882,6 +882,89 @@ _SPEED_TAG_TYPE = pa.list_(
 )
 
 
+def _scalar_simplify_keep(lons: list, lats: list, eps_deg: float) -> list:
+    """Recursive scalar Douglas-Peucker — independent of the vectorized
+    ``routers_ray.simplify.simplify_mask`` (plain-float arithmetic; the
+    cos/radians kernel is shared via numpy scalars, same as the stated
+    oracle boundary for float kernels). First-farthest tie-break via
+    strict ``>`` mirrors np.argmax's first occurrence."""
+    n = len(lons)
+    keep = [False] * n
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    eps2 = eps_deg * eps_deg
+
+    def rec(a: int, b: int) -> None:
+        if b - a < 2:
+            return
+        ca = float(np.cos(np.radians(lats[a])))
+        dx = (lons[b] - lons[a]) * ca
+        dy = lats[b] - lats[a]
+        den = dx * dx + dy * dy
+        best, bi = -1.0, -1
+        for k in range(a + 1, b):
+            x = (lons[k] - lons[a]) * ca
+            y = lats[k] - lats[a]
+            if den == 0.0:
+                d2 = x * x + y * y
+            else:
+                t = (x * dx + y * dy) / den
+                if t < 0.0:
+                    t = 0.0
+                elif t > 1.0:
+                    t = 1.0
+                ex = x - t * dx
+                ey = y - t * dy
+                d2 = ex * ex + ey * ey
+            if d2 > best:
+                best, bi = d2, k
+        if best > eps2:
+            keep[bi] = True
+            rec(a, bi)
+            rec(bi, b)
+
+    rec(0, n - 1)
+    return keep
+
+
+def simplify_expected_path(world: dict, eps_deg: float) -> str:
+    """Expected kept vertices (doc_id, seq, r6 lon/lat) for the match
+    world under the scalar Douglas-Peucker — cached per process."""
+    key = f"simplify_{eps_deg}"
+    hit = _PLANTED.get(key)
+    if hit is not None:
+        return hit
+    docs = pq.read_table(world["paths"]["parquet"]).to_pylist()
+    o_doc, o_seq, o_lon, o_lat = [], [], [], []
+    for doc in docs:
+        lons, lats = _parse_doc_points(doc["spans"])
+        keep = _scalar_simplify_keep(lons, lats, eps_deg)
+        for k, kp in enumerate(keep):
+            if kp:
+                o_doc.append(doc["doc_id"])
+                o_seq.append(k)
+                o_lon.append(_r6(lons[k]))
+                o_lat.append(_r6(lats[k]))
+    out = tempfile.mkdtemp(prefix="routers_ray_oracle_")
+    path = os.path.join(out, "simplify_expected.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(o_doc, pa.string()),
+                "seq": pa.array(o_seq, pa.int64()),
+                "lon": pa.array(o_lon, pa.float64()),
+                "lat": pa.array(o_lat, pa.float64()),
+            }
+        ),
+        path,
+    )
+    _PLANTED[key] = path
+    return path
+
+
 def planted_speed_world(n_edges: int = 500, seed: int = 37) -> str:
     """Edge table with maxspeed tag-sets, a travel direction and a probe
     lane (−1 = no lane context). Cached per process; returns parquet path."""

@@ -2207,6 +2207,70 @@ def sql_match() -> str:
     )
 
 
+SIMPLIFY_EPS_DEG = 2e-4  # ~22 m: above GPS noise, below block length
+
+
+def q_simplify_tracks(sf_dir: str):
+    """Douglas-Peucker polyline simplification per doc (vectorized
+    intervals, NO shuffle — a doc's points live in its row). Emits the
+    kept vertices (doc_id, seq, r6 lon/lat); the oracle recomputes the
+    keep set with an independent recursive scalar DP."""
+    import ray.data as rd
+
+    from ..simplify import simplify_mask
+    from ..spans import parse_trajectories
+
+    w = _match_world()
+    ds = rd.read_parquet(w["paths"]["parquet"])
+
+    def _simp(b: pa.Table) -> pa.Table:
+        t = parse_trajectories(b)
+        doc_ids = t["doc_id"].to_pylist()
+        lon_l = t["pts_lon"].combine_chunks() if isinstance(t["pts_lon"], pa.ChunkedArray) else t["pts_lon"]
+        lat_l = t["pts_lat"].combine_chunks() if isinstance(t["pts_lat"], pa.ChunkedArray) else t["pts_lat"]
+        offs = lon_l.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = lon_l.flatten().to_numpy(zero_copy_only=False)
+        lat = lat_l.flatten().to_numpy(zero_copy_only=False)
+        o_doc, o_seq, o_lon, o_lat = [], [], [], []
+        for i, d in enumerate(doc_ids):
+            lo, hi = offs[i], offs[i + 1]
+            if hi == lo:
+                continue
+            keep = simplify_mask(lon[lo:hi], lat[lo:hi], SIMPLIFY_EPS_DEG)
+            ks = np.flatnonzero(keep)
+            o_doc.extend([d] * len(ks))
+            o_seq.append(ks.astype(np.int64))
+            o_lon.append(lon[lo:hi][ks])
+            o_lat.append(lat[lo:hi][ks])
+        if not o_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "seq": pa.array([], pa.int64()),
+                    "lon": pa.array([], pa.float64()),
+                    "lat": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(o_doc, pa.string()),
+                "seq": pa.array(np.concatenate(o_seq), pa.int64()),
+                "lon": pa.array(r6(np.concatenate(o_lon)), pa.float64()),
+                "lat": pa.array(r6(np.concatenate(o_lat)), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_simp, batch_format="pyarrow")
+
+
+def sql_simplify_tracks() -> str:
+    """Lazy oracle: SELECTs the independent scalar-DP expected parquet."""
+    from ..oracle_match import simplify_expected_path
+
+    p = simplify_expected_path(_match_world(), SIMPLIFY_EPS_DEG)
+    return f"SELECT doc_id, seq, lon, lat FROM read_parquet('{p}')"
+
+
 CAPPED_K = 6  # binding on the match world (layer sizes: p50 8, max 16)
 
 
@@ -2630,6 +2694,7 @@ def registry() -> dict[str, tuple]:
         # only when an oracle consumer resolves it)
         "match": (q_match, sql_match),
         "match_capped": (q_match_capped, sql_match_capped),
+        "simplify_tracks": (q_simplify_tracks, sql_simplify_tracks),
         "match_tiles": (q_match_tiles, sql_match_tiles),
         "tiles_dated": (q_tiles_dated, sql_tiles_dated()),
         "transport_access": (q_transport_access, sql_transport_access()),
