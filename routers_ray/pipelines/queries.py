@@ -522,6 +522,32 @@ def sql_hll_users() -> str:
     """
 
 
+def q_cms_users(sf_dir: str):
+    """Count-Min sketch of per-user event counts (depth 4 × width 1024):
+    per-batch unique-key combiner → bounded counter partials → one tiny
+    ``groupby(j, col).sum`` — the heavy-hitter / frequency-estimate
+    shape for 10^12 rows. Counters merge by addition (partitioning-
+    invariant); the table is exactly oracled (depth-prefixed md5 column
+    hash), the point-query bound pytest-checked."""
+    import ray.data as rd
+
+    from ..sketch import cms_sketch
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+    return cms_sketch(ds, lambda b: [str(u) for u in b["user_id"].to_pylist()])
+
+
+def sql_cms_users() -> str:
+    return """
+    WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n FROM events GROUP BY 1),
+    d AS (SELECT unnest(generate_series(0, 3)) AS j)
+    SELECT j,
+           CAST(md5_number_upper(CAST(j AS VARCHAR) || ':' || key) % 1024 AS BIGINT) AS col,
+           CAST(SUM(n) AS BIGINT) AS n
+    FROM k CROSS JOIN d GROUP BY 1, 2
+    """
+
+
 def q_pip_region(sf_dir: str):
     """Point-in-polygon (rectangle) join: events counted per region box —
     broadcast ranges + vectorized mask (no shuffle)."""
@@ -2668,6 +2694,7 @@ def registry() -> dict[str, tuple]:
         "events_window": (q_events_window, sql_events_window()),
         "distinct_users": (q_distinct_users, sql_distinct_users()),
         "hll_users": (q_hll_users, sql_hll_users()),
+        "cms_users": (q_cms_users, sql_cms_users()),
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
         "token_stats": (q_token_stats, sql_token_stats()),
         "token_bpe": (q_token_bpe, sql_token_bpe()),

@@ -31,7 +31,17 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hll_partials", "hll_sketch", "hll_merge", "hll_estimate", "md5_u64"]
+__all__ = [
+    "hll_partials",
+    "hll_sketch",
+    "hll_merge",
+    "hll_estimate",
+    "md5_u64",
+    "cms_partials",
+    "cms_sketch",
+    "cms_merge",
+    "cms_query",
+]
 
 
 def md5_u64(values: list[str]) -> np.ndarray:
@@ -95,6 +105,66 @@ def hll_merge(sparse_tables: list[pa.Table], p: int = 10) -> np.ndarray:
         rho = np.asarray(t["rho"], dtype=np.int64)
         np.maximum.at(dense, reg, rho)
     return dense
+
+
+def cms_partials(keys: list[str], counts: np.ndarray, depth: int = 4, width: int = 1024) -> pa.Table:
+    """Count-Min row partials for one batch's (unique key, count) pairs:
+    rows (j, col, n) with ``col = md5_u64(f"{j}:{key}") % width`` — the
+    per-depth hash is a fresh md5 over a depth-prefixed key, so the
+    counter table is exactly SQL-expressible (``md5_number_upper(j ||
+    ':' || key) % width``). Bounded output: ≤ depth × width rows."""
+    counts = np.asarray(counts, dtype=np.int64)
+    dense = np.zeros((depth, width), dtype=np.int64)
+    for j in range(depth):
+        cols = (md5_u64([f"{j}:{k}" for k in keys]) % np.uint64(width)).astype(np.int64)
+        np.add.at(dense[j], cols, counts)
+    jj, cc = np.nonzero(dense)
+    return pa.table(
+        {
+            "j": pa.array(jj.astype(np.int64), pa.int64()),
+            "col": pa.array(cc.astype(np.int64), pa.int64()),
+            "n": pa.array(dense[jj, cc], pa.int64()),
+        }
+    )
+
+
+def cms_sketch(ds, value_fn, depth: int = 4, width: int = 1024):
+    """Dataset → Count-Min counter Dataset (j, col, n): per-batch unique-
+    key combiner → row partials → ``groupby(j, col).sum(n)``. Counters
+    merge by addition, so any partitioning yields the identical table."""
+
+    def _partials(b: pa.Table) -> pa.Table:
+        vals = value_fn(b)
+        uniq, counts = np.unique(np.asarray(vals, dtype=object), return_counts=True)
+        return cms_partials([str(u) for u in uniq], counts, depth, width)
+
+    out = ds.map_batches(_partials, batch_format="pyarrow").groupby(["j", "col"]).sum("n")
+    return out.map_batches(
+        lambda t: t.rename_columns(["j", "col", "n"]), batch_format="pyarrow"
+    )
+
+
+def cms_merge(sparse_tables: list[pa.Table], depth: int = 4, width: int = 1024) -> np.ndarray:
+    """Counter tables merge by addition → dense (depth, width) array."""
+    dense = np.zeros((depth, width), dtype=np.int64)
+    for t in sparse_tables:
+        j = np.asarray(t["j"], dtype=np.int64)
+        c = np.asarray(t["col"], dtype=np.int64)
+        n = np.asarray(t["n"], dtype=np.int64)
+        np.add.at(dense, (j, c), n)
+    return dense
+
+
+def cms_query(dense: np.ndarray, key: str) -> int:
+    """Point estimate: min over rows — ≥ the true count, ≤ true + εN with
+    ε = e/width at the standard failure bound."""
+    depth, width = dense.shape
+    est = None
+    for j in range(depth):
+        col = int(md5_u64([f"{j}:{key}"])[0] % np.uint64(width))
+        v = int(dense[j, col])
+        est = v if est is None else min(est, v)
+    return int(est)
 
 
 def hll_estimate(dense: np.ndarray) -> float:

@@ -64,3 +64,40 @@ def test_sketch_query_estimate_vs_exact(ray_session):
         f"SELECT COUNT(DISTINCT user_id) c FROM read_parquet('{sf}/events.parquet')"
     ).df()["c"][0]
     assert abs(est - exact) / exact < 0.13, (est, exact)
+
+
+def test_cms_merge_invariance_and_bounds():
+    from routers_ray.sketch import cms_merge, cms_partials, cms_query
+
+    rng = np.random.default_rng(3)
+    keys = [f"k{i}" for i in rng.integers(0, 200, 30_000)]
+    uniq, counts = np.unique(np.asarray(keys, dtype=object), return_counts=True)
+    whole = cms_merge([cms_partials([str(u) for u in uniq], counts)])
+    # split into chunks, partial per chunk, merge
+    parts = []
+    for c in np.array_split(np.arange(len(keys)), 9):
+        u, n = np.unique(np.asarray([keys[i] for i in c], dtype=object), return_counts=True)
+        parts.append(cms_partials([str(x) for x in u], n))
+    assert np.array_equal(whole, cms_merge(parts))
+    true = dict(zip([str(u) for u in uniq], counts))
+    N = len(keys)
+    eps = np.e / 1024
+    for k, t in list(true.items())[:50]:
+        est = cms_query(whole, k)
+        assert est >= t
+        assert est <= t + eps * N * 4  # slack over the 1-delta bound
+
+
+def test_cms_query_vs_exact(ray_session):
+    import duckdb
+
+    from routers_ray.pipelines.queries import q_cms_users
+    from routers_ray.sketch import cms_merge, cms_query
+
+    sf = "/root/testdata/sf0.001"
+    dense = cms_merge([pa.Table.from_pandas(q_cms_users(sf).to_pandas())])
+    exact = duckdb.sql(
+        f"SELECT CAST(user_id AS VARCHAR) k, COUNT(*) n FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
+    ).df()
+    for _, row in exact.iterrows():
+        assert cms_query(dense, row["k"]) >= row["n"]
