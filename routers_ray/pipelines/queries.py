@@ -522,6 +522,83 @@ def sql_hll_users() -> str:
     """
 
 
+Z_COVER = 6
+
+
+def q_cover_cells(sf_dir: str):
+    """Cell covering: each region box expanded to its covering slippy
+    cells at z=6 (the S2/H3 ``coverer`` analogue — the cover is what a
+    spatial join broadcasts instead of raw geometry). flat_map shape:
+    one small input row fans out to its cover cells; integer-exact."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "region"), columns=["r_regionkey"])
+    n = 1 << Z_COVER
+
+    def _lat_y(lat: float) -> int:
+        # same formula as SQL_SLIPPY, scalar (region count is tiny)
+        lat_r = np.radians(lat)
+        return int(np.floor((1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n))
+
+    def _cover(b: pa.Table) -> pa.Table:
+        rkey = np.asarray(b["r_regionkey"], dtype=np.int64)
+        o_r, o_x, o_y = [], [], []
+        for k in rkey:
+            lon_w = float(k * 60 - 170)
+            lon_e = lon_w + 55.0
+            lat_s = float(k * 25 - 70)
+            lat_n = lat_s + 48.0
+            x0 = int(np.floor((lon_w + 180.0) / 360.0 * n))
+            x1 = int(np.floor((lon_e + 180.0) / 360.0 * n))
+            # slippy y grows southward: north edge gives the smaller y
+            y0 = _lat_y(lat_n)
+            y1 = _lat_y(lat_s)
+            xs = np.arange(x0, x1 + 1, dtype=np.int64)
+            ys = np.arange(y0, y1 + 1, dtype=np.int64)
+            gx, gy = np.meshgrid(xs, ys)
+            o_r.append(np.full(gx.size, k, dtype=np.int64))
+            o_x.append(gx.ravel())
+            o_y.append(gy.ravel())
+        return pa.table(
+            {
+                "region": pa.array(np.concatenate(o_r), pa.int64()),
+                "x": pa.array(np.concatenate(o_x), pa.int64()),
+                "y": pa.array(np.concatenate(o_y), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_cover, batch_format="pyarrow")
+
+
+def sql_cover_cells() -> str:
+    n = float(1 << Z_COVER)
+    y_of = (
+        lambda lat: f"CAST(floor((1.0 - ln(tan(radians({lat})) + 1.0/cos(radians({lat})))/pi())/2.0*{n}) AS BIGINT)"
+    )
+    return f"""
+    WITH boxes AS (
+      SELECT r_regionkey AS region,
+             CAST(r_regionkey*60 - 170 AS DOUBLE) AS lon_w,
+             CAST(r_regionkey*60 - 170 AS DOUBLE) + 55.0 AS lon_e,
+             CAST(r_regionkey*25 - 70 AS DOUBLE) AS lat_s,
+             CAST(r_regionkey*25 - 70 AS DOUBLE) + 48.0 AS lat_n
+      FROM region
+    ),
+    rng AS (
+      SELECT region,
+             CAST(floor((lon_w + 180.0)/360.0*{n}) AS BIGINT) AS x0,
+             CAST(floor((lon_e + 180.0)/360.0*{n}) AS BIGINT) AS x1,
+             {y_of('lat_n')} AS y0,
+             {y_of('lat_s')} AS y1
+      FROM boxes
+    )
+    SELECT region, xs.x, ys.y
+    FROM rng,
+         LATERAL (SELECT unnest(generate_series(x0, x1)) AS x) xs,
+         LATERAL (SELECT unnest(generate_series(y0, y1)) AS y) ys
+    """
+
+
 def q_cms_users(sf_dir: str):
     """Count-Min sketch of per-user event counts (depth 4 × width 1024):
     per-batch unique-key combiner → bounded counter partials → one tiny
@@ -2688,6 +2765,7 @@ def registry() -> dict[str, tuple]:
         # nation is the fixed 25-row TPC-H table at every sf, so the
         # polygon VALUES literal is sf-invariant
         "pip_polygon": (q_pip_polygon, sql_pip_polygon()),
+        "cover_cells": (q_cover_cells, sql_cover_cells()),
         "cluster_cells": (q_cluster_cells, sql_cluster_cells()),
         "agg_pricing": (q_agg_pricing, sql_agg_pricing()),
         "top_customers": (q_top_customers, sql_top_customers()),
