@@ -930,6 +930,81 @@ def _scalar_simplify_keep(lons: list, lats: list, eps_deg: float) -> list:
     return keep
 
 
+def _parse_doc_points_ts(spans) -> tuple[list[float], list[float], list[int]]:
+    """Like :func:`_parse_doc_points` but also returns the timestamps."""
+    lons, lats, tss = [], [], []
+    for s in spans:
+        if s["kind"] == "text" and s["text"] is not None and _POINT_RE.fullmatch(s["text"]):
+            a, b, c = s["text"].split(" ")
+            lons.append(float(a))
+            lats.append(float(b))
+            tss.append(int(c))
+    return lons, lats, tss
+
+
+def _scalar_resample(lons: list, lats: list, tss: list, k: int = 8):
+    """Scalar mirror of ``simplify.resample_track`` (bisect + plain
+    floats, identical expression order)."""
+    import bisect
+
+    n = len(tss)
+    if n == 0:
+        return []
+    order = sorted(range(n), key=lambda i: (tss[i], i))
+    seen, o = set(), []
+    for i in order:
+        if tss[i] not in seen:
+            seen.add(tss[i])
+            o.append(i)
+    ts_s = [float(tss[i]) for i in o]
+    lon_s = [lons[i] for i in o]
+    lat_s = [lats[i] for i in o]
+    m = len(ts_s)
+    if m == 1:
+        return [(0, lon_s[0], lat_s[0])]
+    out = []
+    for j in range(k):
+        t = ts_s[0] + (ts_s[-1] - ts_s[0]) * float(j) / (k - 1.0)
+        i = min(max(bisect.bisect_right(ts_s, t) - 1, 0), m - 2)
+        f = (t - ts_s[i]) / (ts_s[i + 1] - ts_s[i])
+        out.append(
+            (j, lon_s[i] + f * (lon_s[i + 1] - lon_s[i]), lat_s[i] + f * (lat_s[i + 1] - lat_s[i]))
+        )
+    return out
+
+
+def resample_expected_path(world: dict, k: int) -> str:
+    """Expected resampled rows (doc_id, j, r6 lon/lat) — cached per process."""
+    key = f"resample_{k}"
+    hit = _PLANTED.get(key)
+    if hit is not None:
+        return hit
+    docs = pq.read_table(world["paths"]["parquet"]).to_pylist()
+    o_doc, o_j, o_lon, o_lat = [], [], [], []
+    for doc in docs:
+        lons, lats, tss = _parse_doc_points_ts(doc["spans"])
+        for j, lon, lat in _scalar_resample(lons, lats, tss, k):
+            o_doc.append(doc["doc_id"])
+            o_j.append(j)
+            o_lon.append(_r6(lon))
+            o_lat.append(_r6(lat))
+    out = tempfile.mkdtemp(prefix="routers_ray_oracle_")
+    path = os.path.join(out, "resample_expected.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(o_doc, pa.string()),
+                "j": pa.array(o_j, pa.int64()),
+                "lon": pa.array(o_lon, pa.float64()),
+                "lat": pa.array(o_lat, pa.float64()),
+            }
+        ),
+        path,
+    )
+    _PLANTED[key] = path
+    return path
+
+
 def simplify_expected_path(world: dict, eps_deg: float) -> str:
     """Expected kept vertices (doc_id, seq, r6 lon/lat) for the match
     world under the scalar Douglas-Peucker — cached per process."""

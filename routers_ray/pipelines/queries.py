@@ -2374,6 +2374,71 @@ def sql_simplify_tracks() -> str:
     return f"SELECT doc_id, seq, lon, lat FROM read_parquet('{p}')"
 
 
+RESAMPLE_K = 8
+
+
+def q_resample_tracks(sf_dir: str):
+    """Fixed-count trajectory resampling: each doc linearly interpolated
+    at 8 evenly spaced times between its first and last timestamp —
+    per-doc, NO shuffle (the streaming uniform-rate re-emission shape).
+    Oracled against an independent bisect/plain-float scalar recompute."""
+    import ray.data as rd
+
+    from ..simplify import resample_track
+    from ..spans import parse_trajectories
+
+    w = _match_world()
+    ds = rd.read_parquet(w["paths"]["parquet"])
+
+    def _res(b: pa.Table) -> pa.Table:
+        t = parse_trajectories(b)
+        doc_ids = t["doc_id"].to_pylist()
+        cols = {}
+        for c in ("pts_lon", "pts_lat", "pts_ts"):
+            arr = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+            cols[c] = arr
+        offs = cols["pts_lon"].offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = cols["pts_lon"].flatten().to_numpy(zero_copy_only=False)
+        lat = cols["pts_lat"].flatten().to_numpy(zero_copy_only=False)
+        tss = cols["pts_ts"].flatten().to_numpy(zero_copy_only=False)
+        o_doc, o_j, o_lon, o_lat = [], [], [], []
+        for i, d in enumerate(doc_ids):
+            lo, hi = offs[i], offs[i + 1]
+            if hi == lo:
+                continue
+            j, rl, rt = resample_track(lon[lo:hi], lat[lo:hi], tss[lo:hi], RESAMPLE_K)
+            o_doc.extend([d] * len(j))
+            o_j.append(j)
+            o_lon.append(rl)
+            o_lat.append(rt)
+        if not o_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "j": pa.array([], pa.int64()),
+                    "lon": pa.array([], pa.float64()),
+                    "lat": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(o_doc, pa.string()),
+                "j": pa.array(np.concatenate(o_j), pa.int64()),
+                "lon": pa.array(r6(np.concatenate(o_lon)), pa.float64()),
+                "lat": pa.array(r6(np.concatenate(o_lat)), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_res, batch_format="pyarrow")
+
+
+def sql_resample_tracks() -> str:
+    from ..oracle_match import resample_expected_path
+
+    p = resample_expected_path(_match_world(), RESAMPLE_K)
+    return f"SELECT doc_id, j, lon, lat FROM read_parquet('{p}')"
+
+
 CAPPED_K = 6  # binding on the match world (layer sizes: p50 8, max 16)
 
 
@@ -2800,6 +2865,7 @@ def registry() -> dict[str, tuple]:
         "match": (q_match, sql_match),
         "match_capped": (q_match_capped, sql_match_capped),
         "simplify_tracks": (q_simplify_tracks, sql_simplify_tracks),
+        "resample_tracks": (q_resample_tracks, sql_resample_tracks),
         "match_tiles": (q_match_tiles, sql_match_tiles),
         "tiles_dated": (q_tiles_dated, sql_tiles_dated()),
         "transport_access": (q_transport_access, sql_transport_access()),

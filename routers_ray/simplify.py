@@ -24,7 +24,48 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["simplify_mask"]
+__all__ = ["simplify_mask", "resample_track"]
+
+
+def resample_track(
+    lons: np.ndarray, lats: np.ndarray, ts: np.ndarray, k: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Resample one trajectory at ``k`` evenly spaced times between its
+    first and last timestamp (linear interpolation between bracketing
+    points) → (j, lon, lat) arrays.
+
+    Deterministic float contract (the scalar oracle mirrors it exactly):
+    points sorted by (ts, original index), duplicate timestamps keep the
+    first; ``t_j = ts0 + (tsN - ts0) * j / (k - 1)`` evaluated in that
+    order; bracket via ``searchsorted(side='right') - 1`` clamped to the
+    last segment; ``f = (t - ts_i) / (ts_{i+1} - ts_i)``. A one-point
+    track emits only j=0.
+    """
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    ts = np.asarray(ts, dtype=np.int64)
+    n = ts.size
+    if n == 0:
+        e = np.empty(0)
+        return np.empty(0, np.int64), e, e
+    order = np.lexsort((np.arange(n), ts))
+    ts_s = ts[order]
+    first = np.concatenate(([True], np.diff(ts_s) != 0))
+    order = order[first]
+    ts_s = ts_s[first].astype(np.float64)
+    lon_s, lat_s = lons[order], lats[order]
+    m = ts_s.size
+    if m == 1:
+        return np.zeros(1, np.int64), lon_s[:1], lat_s[:1]
+    js = np.arange(k, dtype=np.float64)
+    t = ts_s[0] + (ts_s[-1] - ts_s[0]) * js / (k - 1.0)
+    i = np.clip(np.searchsorted(ts_s, t, side="right") - 1, 0, m - 2)
+    f = (t - ts_s[i]) / (ts_s[i + 1] - ts_s[i])
+    return (
+        np.arange(k, dtype=np.int64),
+        lon_s[i] + f * (lon_s[i + 1] - lon_s[i]),
+        lat_s[i] + f * (lat_s[i + 1] - lat_s[i]),
+    )
 
 
 def simplify_mask(lons: np.ndarray, lats: np.ndarray, eps_deg: float) -> np.ndarray:

@@ -72,3 +72,46 @@ def test_removed_points_within_eps_of_kept_chain():
             t = 0.0 if den == 0 else min(max((x * dx + y * dy) / den, 0.0), 1.0)
             d2 = (x - t * dx) ** 2 + (y - t * dy) ** 2
             assert d2 <= eps * eps + 1e-18
+
+
+def test_resample_invariants():
+    from routers_ray.simplify import resample_track
+
+    lon = np.array([0.0, 1.0, 3.0])
+    lat = np.array([10.0, 11.0, 13.0])
+    ts = np.array([0, 10, 30])
+    j, rl, rt = resample_track(lon, lat, ts, k=4)
+    # evenly spaced times 0,10,20,30 -> exact endpoints + midpoint of 2nd leg
+    assert list(j) == [0, 1, 2, 3]
+    assert rl[0] == 0.0 and rt[0] == 10.0
+    assert rl[1] == 1.0 and rt[1] == 11.0
+    assert rl[2] == 2.0 and rt[2] == 12.0
+    assert rl[3] == 3.0 and rt[3] == 13.0
+    # unsorted + duplicate ts: first occurrence wins, order restored
+    j2, rl2, rt2 = resample_track(
+        np.array([3.0, 0.0, 99.0, 1.0]),
+        np.array([13.0, 10.0, 99.0, 11.0]),
+        np.array([30, 0, 0, 10]),
+        k=4,
+    )
+    assert np.array_equal(rl, rl2) and np.array_equal(rt, rt2)
+    # single point -> j=0 only
+    j3, rl3, _ = resample_track(np.array([5.0]), np.array([6.0]), np.array([7]), k=4)
+    assert list(j3) == [0] and rl3[0] == 5.0
+
+
+def test_resample_matches_scalar_oracle():
+    from routers_ray.oracle_match import _scalar_resample
+    from routers_ray.simplify import resample_track
+
+    rng = np.random.default_rng(21)
+    for _ in range(50):
+        n = int(rng.integers(1, 25))
+        lon = rng.uniform(-118.2, -118.1, n)
+        lat = rng.uniform(34.1, 34.2, n)
+        ts = rng.integers(0, 10**9, n)
+        j, rl, rt = resample_track(lon, lat, ts, k=8)
+        want = _scalar_resample(lon.tolist(), lat.tolist(), ts.tolist(), k=8)
+        assert len(j) == len(want)
+        for a, (wj, wl, wt) in zip(range(len(want)), want):
+            assert j[a] == wj and rl[a] == wl and rt[a] == wt
