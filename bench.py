@@ -267,7 +267,9 @@ def run_bench() -> dict:
 
     reg = registry()
     for name in ("cell_assign", "haversine_track", "nn_station", "agg_pricing",
-                 "dedup_exact", "token_stats", "ann_topk"):
+                 "dedup_exact", "token_stats", "ann_topk",
+                 # round-4 second-pass families: raster, sketch, polygon PIP
+                 "rasterize", "raster_runs", "hll_users", "pip_polygon"):
         fn, _ = reg[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)
