@@ -94,6 +94,37 @@ class Engine:
 
         return materialize_dated_tiles(pts_ds, list(zooms), ranges, lon_col, lat_col, ts_col)
 
+    def rasterize(self, points_ds, z: int, grid: int = 64, lon_col="lon", lat_col="lat"):
+        """Vector→raster sparse pixel rollup (see :mod:`routers_ray.raster`)."""
+        from .raster import rasterize_points
+
+        return rasterize_points(points_ds, z, grid, lon_col, lat_col)
+
+    def raster_tiles(self, points_ds, z: int, grid: int = 64, lon_col="lon", lat_col="lat"):
+        """Dense uint32 grid-blob raster tiles (one bounded row per tile)."""
+        from .raster import assemble_raster_tiles
+
+        return assemble_raster_tiles(points_ds, z, grid, lon_col, lat_col)
+
+    def vectorize(self, points_ds, z: int, grid: int = 64, threshold: int = 1,
+                  lon_col="lon", lat_col="lat"):
+        """Raster→vector run-length segments in one tile-keyed exchange."""
+        from .raster import vectorize_runs
+
+        return vectorize_runs(points_ds, z, grid, threshold, lon_col, lat_col)
+
+    def count_distinct(self, ds, value_fn, p: int = 10):
+        """Mergeable HyperLogLog sketch Dataset (reg, rho)."""
+        from .sketch import hll_sketch
+
+        return hll_sketch(ds, value_fn, p)
+
+    def frequencies(self, ds, value_fn, depth: int = 4, width: int = 1024):
+        """Mergeable Count-Min counter Dataset (j, col, n)."""
+        from .sketch import cms_sketch
+
+        return cms_sketch(ds, value_fn, depth, width)
+
     def mvt(self, matched_ok_ds, zoom: int, layer_name: str = "matched"):
         """Servable MVT blobs per touched tile (one binary row per tile)."""
         from .mvt import mvt_tiles

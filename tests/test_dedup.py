@@ -151,6 +151,26 @@ def test_engine_facade(tmp_path, ray_session):
     )
     assert dated.num_rows == 2
 
+    # round-4 facade surface: raster↔vector + sketches
+    snaps = ok.to_pandas()
+    pts_ds = rd.from_arrow(
+        pa.table({"lon": pa.array(snaps["snap_lon"]), "lat": pa.array(snaps["snap_lat"])})
+    )
+    sparse = eng.rasterize(pts_ds, z=4, grid=16).to_pandas()
+    assert sparse["n"].sum() == n_ok
+    rtiles = eng.raster_tiles(pts_ds, z=4, grid=16).to_pandas()
+    assert rtiles["total"].sum() == n_ok
+    runs = eng.vectorize(pts_ds, z=4, grid=16, threshold=1).to_pandas()
+    assert runs["total"].sum() == n_ok
+    hll = eng.count_distinct(ok, lambda b: [str(d) for d in b["doc_id"].to_pylist()]).to_pandas()
+    from routers_ray.sketch import hll_estimate, hll_merge
+
+    est = hll_estimate(hll_merge([pa.Table.from_pandas(hll)]))
+    n_docs_ok = snaps["doc_id"].nunique()
+    assert abs(est - n_docs_ok) / n_docs_ok < 0.35  # tiny-cardinality LC regime
+    cms = eng.frequencies(ok, lambda b: [str(d) for d in b["doc_id"].to_pylist()]).to_pandas()
+    assert cms["n"].sum() == n_ok * 4  # depth rows each count every row
+
 
 def test_internal_error_rows_do_not_kill_batch(monkeypatch):
     """Poison-pill tolerance: an unexpected exception in one doc surfaces as
