@@ -254,6 +254,50 @@ def sql_raster_runs() -> str:
     )
 
 
+def q_raster_components(sf_dir: str):
+    """Raster→vector connected components: 4-connected component count +
+    largest size per tile over the thresholded z=2 / 16×16 raster —
+    union-find inside ``map_groups`` (bounded O(grid²) per tile), the
+    polygon-count view of the raster. Oracled against a recursive-CTE
+    min-label propagation in DuckDB."""
+    import ray.data as rd
+
+    from ..raster import components_of_tile, pixel_partials
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _partials(b: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(np.asarray(b["event_id"]))
+        return pixel_partials(lon, lat, Z_RASTER, RUNS_GRID)
+
+    return (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .map_groups(
+            lambda g: components_of_tile(g, RUNS_GRID, RUNS_THRESHOLD),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def sql_raster_components() -> str:
+    g = RUNS_GRID
+    return (
+        f"WITH RECURSIVE pts AS ({SQL_EVENT_PTS}), "
+        f"pix AS ({_sql_raster_pixels(Z_RASTER, RUNS_GRID)}), "
+        f"thr AS (SELECT x, y, py*{g}+px AS id, px, py FROM pix WHERE n >= {RUNS_THRESHOLD}), "
+        f"e AS (SELECT a.x, a.y, a.id AS u, b.id AS v FROM thr a JOIN thr b "
+        f"ON a.x=b.x AND a.y=b.y WHERE (abs(a.px-b.px) + abs(a.py-b.py)) = 1), "
+        f"reach(x, y, id, lab) AS ("
+        f"  SELECT x, y, id, id FROM thr"
+        f"  UNION"
+        f"  SELECT e.x, e.y, e.u, r.lab FROM e JOIN reach r ON r.x=e.x AND r.y=e.y AND r.id=e.v), "
+        f"comp AS (SELECT x, y, id, MIN(lab) AS comp_id FROM reach GROUP BY x, y, id), "
+        f"sizes AS (SELECT x, y, comp_id, COUNT(*) AS sz FROM comp GROUP BY x, y, comp_id) "
+        f"SELECT x, y, COUNT(*) AS n_components, MAX(sz) AS largest FROM sizes GROUP BY x, y"
+    )
+
+
 def q_raster_pyramid(sf_dir: str):
     """Raster zoom-pyramid: the z=2 raster sum-pooled 2×2 into its z=1
     parent tiles — compaction up the pyramid in GLOBAL pixel space
@@ -2823,6 +2867,7 @@ def registry() -> dict[str, tuple]:
         "rasterize": (q_rasterize, sql_rasterize()),
         "raster_runs": (q_raster_runs, sql_raster_runs()),
         "raster_pyramid": (q_raster_pyramid, sql_raster_pyramid()),
+        "raster_components": (q_raster_components, sql_raster_components()),
         "haversine_track": (q_haversine_track, sql_haversine_track()),
         "nn_station": (q_nn_station, sql_nn_station()),
         "knn_station": (q_knn_station, sql_knn_station()),

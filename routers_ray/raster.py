@@ -232,6 +232,35 @@ def assemble_raster_tiles(ds, z: int, grid: int, lon_col: str = "lon", lat_col: 
     )
 
 
+_COMP_SCHEMA = pa.schema(
+    [
+        ("x", pa.int64()),
+        ("y", pa.int64()),
+        ("n_components", pa.int64()),
+        ("largest", pa.int64()),
+    ]
+)
+
+
+def components_of_tile(group: pa.Table, grid: int, threshold: int = 1) -> pa.Table:
+    """``groupby(x, y).map_groups`` body: 4-connected component stats of
+    the thresholded tile raster — one row per tile."""
+    px, py, n = sum_tile_pixels(group)
+    keep = n >= threshold
+    px, py = px[keep], py[keep]
+    if len(px) == 0:
+        return _COMP_SCHEMA.empty_table()
+    n_comp, largest = component_stats(px, py, grid)
+    return pa.table(
+        {
+            "x": pa.array([int(group["x"][0].as_py())], pa.int64()),
+            "y": pa.array([int(group["y"][0].as_py())], pa.int64()),
+            "n_components": pa.array([n_comp], pa.int64()),
+            "largest": pa.array([largest], pa.int64()),
+        }
+    )
+
+
 def decode_grid(blob: bytes, grid: int) -> np.ndarray:
     """Inverse of ``grid_blob_of_tile``: blob → (grid, grid) uint32 array."""
     return np.frombuffer(blob, dtype="<u4").reshape(grid, grid).copy()

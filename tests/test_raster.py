@@ -208,3 +208,23 @@ def test_pip_even_odd_known_points():
     # (0.5, 2.0) sits inside the notch triangle: outside the polygon
     got = _pip_even_odd(lon, lat, verts)
     assert list(got) == [True, True, True, False, False, False]
+
+
+def test_components_of_tile_body():
+    from routers_ray.raster import components_of_tile
+
+    g = pa.table(
+        {
+            "x": pa.array([1] * 5, pa.int64()),
+            "y": pa.array([2] * 5, pa.int64()),
+            # L-shape (2 px row + 1 below) passes thr=2; two isolated
+            # singletons fall below it
+            "px": pa.array([3, 4, 3, 9, 0], pa.int64()),
+            "py": pa.array([0, 0, 1, 9, 5], pa.int64()),
+            "n": pa.array([2, 3, 2, 1, 1], pa.int64()),
+        }
+    )
+    out = components_of_tile(g, GRID, threshold=2).to_pandas()
+    assert out.iloc[0]["n_components"] == 1 and out.iloc[0]["largest"] == 3
+    empty = components_of_tile(g, GRID, threshold=99)
+    assert empty.num_rows == 0 and empty.schema.names == ["x", "y", "n_components", "largest"]
