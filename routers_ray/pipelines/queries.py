@@ -566,6 +566,62 @@ def sql_hll_users() -> str:
     """
 
 
+def q_polygon_area(sf_dir: str):
+    """Planar shoelace area + vertex centroid per nation polygon (the
+    vector-geometry scalar kernel family; exact ±*/ arithmetic in both
+    engines). Tiny input — the point is the oracled kernel, reused by
+    any geofence-sizing stage."""
+    import ray.data as rd
+
+    polys = _nation_polygons(sf_dir)
+
+    def _area(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b["n_nationkey"], dtype=np.int64)
+        area, cx, cy = [], [], []
+        for k in keys:
+            v = polys[int(k)]
+            x1, y1 = v[:, 0], v[:, 1]
+            x2, y2 = np.roll(v[:, 0], -1), np.roll(v[:, 1], -1)
+            area.append(np.sum(x1 * y2 - x2 * y1) / 2.0)
+            cx.append(np.sum(x1) / len(x1))
+            cy.append(np.sum(y1) / len(y1))
+        return pa.table(
+            {
+                "poly": pa.array(keys, pa.int64()),
+                "area": pa.array(r6(np.asarray(area)), pa.float64()),
+                "cx": pa.array(r6(np.asarray(cx)), pa.float64()),
+                "cy": pa.array(r6(np.asarray(cy)), pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(_pq(sf_dir, "nation"), columns=["n_nationkey"])
+    return ds.map_batches(_area, batch_format="pyarrow")
+
+
+def sql_polygon_area(sf_dir: str = "/root/testdata/sf0.001") -> str:
+    polys = _nation_polygons(sf_dir)
+    rows = []
+    for k, verts in polys.items():
+        x2 = np.roll(verts[:, 0], -1)
+        y2 = np.roll(verts[:, 1], -1)
+        for (vx, vy), ex, ey in zip(verts, x2, y2):
+            # explicit DOUBLE: bare decimal literals parse as DECIMAL and
+            # the shoelace product overflows DECIMAL(38)
+            rows.append(
+                f"({k}, CAST({vx!r} AS DOUBLE), CAST({vy!r} AS DOUBLE), "
+                f"CAST({ex!r} AS DOUBLE), CAST({ey!r} AS DOUBLE))"
+            )
+    edges = ", ".join(rows)
+    return f"""
+    WITH edges(poly, x1, y1, x2, y2) AS (VALUES {edges})
+    SELECT poly,
+           floor((SUM(x1*y2 - x2*y1)/2.0)*1e6 + 0.5)/1e6 AS area,
+           floor((SUM(x1)/COUNT(*))*1e6 + 0.5)/1e6 AS cx,
+           floor((SUM(y1)/COUNT(*))*1e6 + 0.5)/1e6 AS cy
+    FROM edges GROUP BY poly
+    """
+
+
 Z_COVER = 6
 
 
@@ -2876,6 +2932,7 @@ def registry() -> dict[str, tuple]:
         # polygon VALUES literal is sf-invariant
         "pip_polygon": (q_pip_polygon, sql_pip_polygon()),
         "cover_cells": (q_cover_cells, sql_cover_cells()),
+        "polygon_area": (q_polygon_area, sql_polygon_area()),
         "cluster_cells": (q_cluster_cells, sql_cluster_cells()),
         "agg_pricing": (q_agg_pricing, sql_agg_pricing()),
         "top_customers": (q_top_customers, sql_top_customers()),
