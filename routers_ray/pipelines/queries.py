@@ -566,6 +566,61 @@ def sql_hll_users() -> str:
     """
 
 
+COLOC_R_DEG = 4.0  # lattice-derived points: min pair distance 2.1 deg at sf0.001
+
+
+def q_coloc_pairs(sf_dir: str):
+    """Distributed radius SELF-JOIN (co-location pairs): events within
+    4° grid distance of each other — 9× bucket replication, one
+    bucket-keyed exchange, exactly-once owner emission
+    (:mod:`routers_ray.spatialjoin`). Oracled against the naive DuckDB
+    self-join carrying the identical IEEE distance predicate."""
+    import ray.data as rd
+
+    from ..spatialjoin import radius_self_join
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _pts(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        lon, lat = event_lonlat(eid)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+        )
+
+    pairs = radius_self_join(
+        ds.map_batches(_pts, batch_format="pyarrow"), COLOC_R_DEG, "event_id"
+    )
+    return pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "dist2": pa.array(r6(np.asarray(t["dist2"])), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sql_coloc_pairs() -> str:
+    r = COLOC_R_DEG
+    return f"""
+    WITH pts AS ({SQL_EVENT_PTS})
+    SELECT a.event_id AS a, b.event_id AS b,
+           floor(((a.lon - b.lon)*(a.lon - b.lon) + (a.lat - b.lat)*(a.lat - b.lat))*1e6 + 0.5)/1e6 AS dist2
+    FROM pts a JOIN pts b
+      ON a.event_id < b.event_id
+     AND b.lon BETWEEN a.lon - {r} AND a.lon + {r}
+     AND b.lat BETWEEN a.lat - {r} AND a.lat + {r}
+     AND (a.lon - b.lon)*(a.lon - b.lon) + (a.lat - b.lat)*(a.lat - b.lat) <= {r * r}
+    """
+
+
 def q_polygon_area(sf_dir: str):
     """Planar shoelace area + vertex centroid per nation polygon (the
     vector-geometry scalar kernel family; exact ±*/ arithmetic in both
@@ -2933,6 +2988,7 @@ def registry() -> dict[str, tuple]:
         "pip_polygon": (q_pip_polygon, sql_pip_polygon()),
         "cover_cells": (q_cover_cells, sql_cover_cells()),
         "polygon_area": (q_polygon_area, sql_polygon_area()),
+        "coloc_pairs": (q_coloc_pairs, sql_coloc_pairs()),
         "cluster_cells": (q_cluster_cells, sql_cluster_cells()),
         "agg_pricing": (q_agg_pricing, sql_agg_pricing()),
         "top_customers": (q_top_customers, sql_top_customers()),
