@@ -621,6 +621,73 @@ def sql_coloc_pairs() -> str:
     """
 
 
+COLOC_D_M = 300_000.0  # metric variant: 300 km
+COLOC_LAT_MAX = 60.0  # band the input so 6 deg buckets over-cover 300 km
+COLOC_R_M_DEG = 6.0
+
+
+def q_coloc_pairs_m(sf_dir: str):
+    """METRIC radius self-join: event pairs within 300 km haversine, on
+    the |lat| ≤ 60 band (bucket contract: 6° ≥ 300 km / (111.195 km·
+    cos 60°) = 5.39°). Same replication + owner-dedup machinery; the
+    degree buckets are the over-covering prefilter, haversine the exact
+    emitted distance (r3, the repo's SQL_HAV bit-parity convention)."""
+    import ray.data as rd
+
+    from ..spatialjoin import radius_self_join
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _pts(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        lon, lat = event_lonlat(eid)
+        keep = np.abs(lat) <= COLOC_LAT_MAX
+        return pa.table(
+            {
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "lon": pa.array(lon[keep], pa.float64()),
+                "lat": pa.array(lat[keep], pa.float64()),
+            }
+        )
+
+    def _hav(lon_a, lat_a, lon_b, lat_b):
+        return hav_m(lon_a, lat_a, lon_b, lat_b)
+
+    pairs = radius_self_join(
+        ds.map_batches(_pts, batch_format="pyarrow"),
+        COLOC_R_M_DEG,
+        "event_id",
+        metric=_hav,
+        metric_max=COLOC_D_M,
+    )
+    return pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "dist_m": pa.array(r3(np.asarray(t["dist2"])), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sql_coloc_pairs_m() -> str:
+    hav = SQL_HAV("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+    WITH pts AS (
+      SELECT * FROM ({SQL_EVENT_PTS}) WHERE abs(lat) <= {COLOC_LAT_MAX}
+    )
+    SELECT a.event_id AS a, b.event_id AS b,
+           floor({hav}*1000 + 0.5)/1000 AS dist_m
+    FROM pts a JOIN pts b
+      ON a.event_id < b.event_id
+     AND b.lat BETWEEN a.lat - 3.0 AND a.lat + 3.0
+     AND b.lon BETWEEN a.lon - 6.0 AND a.lon + 6.0
+     AND {hav} <= {COLOC_D_M}
+    """
+
+
 def q_polygon_area(sf_dir: str):
     """Planar shoelace area + vertex centroid per nation polygon (the
     vector-geometry scalar kernel family; exact ±*/ arithmetic in both
@@ -2989,6 +3056,7 @@ def registry() -> dict[str, tuple]:
         "cover_cells": (q_cover_cells, sql_cover_cells()),
         "polygon_area": (q_polygon_area, sql_polygon_area()),
         "coloc_pairs": (q_coloc_pairs, sql_coloc_pairs()),
+        "coloc_pairs_m": (q_coloc_pairs_m, sql_coloc_pairs_m()),
         "cluster_cells": (q_cluster_cells, sql_cluster_cells()),
         "agg_pricing": (q_agg_pricing, sql_agg_pricing()),
         "top_customers": (q_top_customers, sql_top_customers()),

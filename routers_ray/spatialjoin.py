@@ -58,7 +58,7 @@ def _replicate(batch: pa.Table, r: float, id_col: str, lon_col: str, lat_col: st
     )
 
 
-def _pairs_of_bucket(group: pa.Table, r: float) -> pa.Table:
+def _pairs_of_bucket(group: pa.Table, r: float, metric=None, metric_max: float | None = None) -> pa.Table:
     ids = group["id"].to_numpy(zero_copy_only=False).astype(np.int64)
     if ids.size < 2:
         return _PAIRS_SCHEMA.empty_table()
@@ -81,6 +81,22 @@ def _pairs_of_bucket(group: pa.Table, r: float) -> pa.Table:
     i, j = np.nonzero(within & lower & owner)
     if i.size == 0:
         return _PAIRS_SCHEMA.empty_table()
+    if metric is not None:
+        # metric refine: the degree radius is the over-covering prefilter
+        # (caller guarantees r_deg covers metric_max at the data's
+        # latitudes); the emitted distance is the metric one
+        m = metric(lon[i], lat[i], lon[j], lat[j])
+        keep = m <= metric_max
+        i, j, m = i[keep], j[keep], m[keep]
+        if i.size == 0:
+            return _PAIRS_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "a": pa.array(ids[i], pa.int64()),
+                "b": pa.array(ids[j], pa.int64()),
+                "dist2": pa.array(np.asarray(m, dtype=np.float64), pa.float64()),
+            }
+        )
     return pa.table(
         {
             "a": pa.array(ids[i], pa.int64()),
@@ -90,13 +106,28 @@ def _pairs_of_bucket(group: pa.Table, r: float) -> pa.Table:
     )
 
 
-def radius_self_join(ds, r_deg: float, id_col: str, lon_col: str = "lon", lat_col: str = "lat"):
+def radius_self_join(
+    ds,
+    r_deg: float,
+    id_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    metric=None,
+    metric_max: float | None = None,
+):
     """Dataset of points → Dataset of (a, b, dist2) pairs with
     ``Δlon² + Δlat² ≤ r²`` and ``a < b`` — one bucket-keyed exchange,
-    9× replication, exactly-once owner emission."""
+    9× replication, exactly-once owner emission.
+
+    Metric variant: pass ``metric(lon_a, lat_a, lon_b, lat_b) -> dist``
+    (e.g. haversine meters) and ``metric_max`` — pairs with metric ≤
+    metric_max, with the degree radius acting as the over-covering
+    replication prefilter. The REPLICATION BOUND is the caller's
+    contract: ``r_deg ≥ metric_max / (111195 · cos(max |lat|))`` (E-W
+    shrinks with latitude; filter or band the input accordingly)."""
     rep = ds.map_batches(
         lambda b: _replicate(b, r_deg, id_col, lon_col, lat_col), batch_format="pyarrow"
     )
     return rep.groupby(["bx", "by"]).map_groups(
-        lambda g: _pairs_of_bucket(g, r_deg), batch_format="pyarrow"
+        lambda g: _pairs_of_bucket(g, r_deg, metric, metric_max), batch_format="pyarrow"
     )
