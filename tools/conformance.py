@@ -51,6 +51,8 @@ CONFIGS = {
     "selective16": MatchOptions(fanout=16),
     "selective8": MatchOptions(fanout=8),
     "windowed": MatchOptions(max_layers=12, drop_unanchored=True),
+    # r04 adaptive candidate reduction (opt-in; own oracle `match_capped`)
+    "capped6": MatchOptions(max_candidates=6),
 }
 
 
