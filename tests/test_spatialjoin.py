@@ -65,3 +65,31 @@ def test_radius_join_boundary_pairs_cross_buckets(ray_session):
     )
     out = radius_self_join(rd.from_arrow(tbl), 1.0, "id").to_pandas()
     assert set(zip(out["a"], out["b"])) == {(1, 2)}
+
+
+def test_radius_join_property_fuzz(ray_session):
+    """Randomized worlds: distributed result == brute force, for random
+    radii, point counts and clusters (hypothesis-style seeded fuzz kept
+    deterministic for CI)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        n = int(rng.integers(20, 300))
+        # clustered points: adjacency-heavy worlds stress the owner rule
+        centers = rng.uniform(-50, 50, (max(1, n // 40), 2))
+        pick = rng.integers(0, len(centers), n)
+        lon = centers[pick, 0] + rng.normal(0, 1.5, n)
+        lat = centers[pick, 1] + rng.normal(0, 1.5, n)
+        r = float(rng.choice([0.5, 1.0, 2.5, 4.0]))
+        tbl = pa.table(
+            {
+                "id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+        )
+        out = radius_self_join(rd.from_arrow(tbl).repartition(5), r, "id").to_pandas()
+        got = list(zip(out["a"], out["b"]))
+        assert len(got) == len(set(got)), (trial, r)
+        assert set(got) == _brute(tbl, r), (trial, r)
