@@ -688,6 +688,209 @@ def sql_coloc_pairs_m() -> str:
     """
 
 
+HAUS_CELL_DEG = 60.0  # anchor-cell pairing grid for the track-pair join
+
+
+def _anchor_cell(lon0: float, lat0: float) -> int:
+    """Coarse pairing cell of a track's first point — packed x*100+y
+    (x ∈ [0,6), y ∈ [0,3) on the derived-coordinate domain)."""
+    x = int(np.floor((lon0 + 180.0) / HAUS_CELL_DEG))
+    y = int(np.floor((lat0 + 85.0) / HAUS_CELL_DEG))
+    return x * 100 + y
+
+
+def q_hausdorff_pairs(sf_dir: str):
+    """Symmetric Hausdorff distance between user-track pairs sharing an
+    anchor cell (track-similarity / geofence-family join,
+    ``max(max_a min_b d, max_b min_a d)``).
+
+    Distributed shape: one ``groupby(user_id)`` builds each track ONCE
+    (points packed as a float64 blob — nested columns don't survive
+    exchanges, NOTES), keyed by the first point's 60° anchor cell; one
+    ``groupby(cell)`` then pairs tracks within the cell. The shuffle moves
+    one row per TRACK, never per point-pair; the per-pair min/max kernel
+    is a vectorized haversine matrix. Both haversine directions are
+    evaluated explicitly (hav(A_i,B_j) AND hav(B_j,A_i)) so the engine
+    makes no float-symmetry assumption the SQL oracle doesn't."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def _track(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        lon, lat = event_lonlat(eid[order])
+        return pa.table(
+            {
+                "user_id": g["user_id"].slice(0, 1).combine_chunks(),
+                "cell": pa.array([_anchor_cell(lon[0], lat[0])], pa.int64()),
+                "pts": pa.array([np.concatenate([lon, lat]).tobytes()], pa.binary()),
+            }
+        )
+
+    tracks = ds.groupby("user_id").map_groups(_track, batch_format="pyarrow")
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        uid = np.asarray(g["user_id"], dtype=np.int64)
+        blobs = g["pts"].to_pylist()
+        order = np.argsort(uid, kind="stable")
+        uid = uid[order]
+        pts = []
+        for i in order.tolist():
+            v = np.frombuffer(blobs[i], dtype=np.float64)
+            pts.append((v[: v.size // 2], v[v.size // 2 :]))
+        ua, ub, hd = [], [], []
+        for i in range(uid.size):
+            lon_a, lat_a = pts[i]
+            for j in range(i + 1, uid.size):
+                lon_b, lat_b = pts[j]
+                d_ab = hav_m(lon_a[:, None], lat_a[:, None], lon_b[None, :], lat_b[None, :])
+                d_ba = hav_m(lon_b[:, None], lat_b[:, None], lon_a[None, :], lat_a[None, :])
+                h = max(d_ab.min(axis=1).max(), d_ba.min(axis=1).max())
+                ua.append(int(uid[i])), ub.append(int(uid[j])), hd.append(h)
+        return pa.table(
+            {
+                "ua": pa.array(ua, pa.int64()),
+                "ub": pa.array(ub, pa.int64()),
+                "hd_m": pa.array(r3(np.asarray(hd, dtype=np.float64)), pa.float64()),
+            }
+        )
+
+    return tracks.groupby("cell").map_groups(_pairs, batch_format="pyarrow")
+
+
+def sql_hausdorff_pairs() -> str:
+    hav = SQL_HAV("pa.lon", "pa.lat", "pb.lon", "pb.lat")
+    c = HAUS_CELL_DEG
+    return f"""
+    WITH pts AS ({SQL_EVENT_PTS}),
+    rk AS (
+      SELECT user_id, lon, lat,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM pts
+    ),
+    anchor AS (
+      SELECT user_id,
+             CAST(floor((lon + 180.0)/{c}) AS BIGINT)*100
+             + CAST(floor((lat + 85.0)/{c}) AS BIGINT) AS cell
+      FROM rk WHERE rn = 1
+    ),
+    pr AS (
+      SELECT a.user_id AS ua, b.user_id AS ub
+      FROM anchor a JOIN anchor b ON a.cell = b.cell AND a.user_id < b.user_id
+    ),
+    dirs AS (
+      SELECT ua, ub, ua AS s, ub AS t FROM pr
+      UNION ALL
+      SELECT ua, ub, ub AS s, ua AS t FROM pr
+    ),
+    dmin AS (
+      SELECT d.ua, d.ub, pa.event_id AS src_ev, MIN({hav}) AS md
+      FROM dirs d
+      JOIN pts pa ON pa.user_id = d.s
+      JOIN pts pb ON pb.user_id = d.t
+      GROUP BY d.ua, d.ub, pa.event_id
+    )
+    SELECT ua, ub, floor(MAX(md)*1000 + 0.5)/1000 AS hd_m
+    FROM dmin GROUP BY ua, ub
+    """
+
+
+def q_od_flows(sf_dir: str):
+    """Origin→destination flow matrix: each user's first and last point
+    (by ``(ts, event_id)``) assigned to the 60° grid, flows counted per
+    (o_cell, d_cell). Distributed shape: per-batch associative first/last
+    partials (one row per (batch, user) — the min/max key reduction is
+    order-free) → ``groupby(user_id)`` merge → per-batch partial flow
+    counts → tiny ``groupby((o,d)).sum`` (the two-level combiner)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def _partials(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], dtype=np.int64)
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((eid, ts))  # ascending (ts, eid)
+        g = order[np.argsort(uid[order], kind="stable")]  # group by uid, keep order
+        starts = np.flatnonzero(np.r_[True, uid[g][1:] != uid[g][:-1]])
+        ends = np.r_[starts[1:], uid.size] - 1
+        f, l = g[starts], g[ends]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[f], pa.int64()),
+                "f_ts": pa.array(ts[f], pa.int64()),
+                "f_eid": pa.array(eid[f], pa.int64()),
+                "l_ts": pa.array(ts[l], pa.int64()),
+                "l_eid": pa.array(eid[l], pa.int64()),
+            }
+        )
+
+    def _merge(g: pa.Table) -> pa.Table:
+        f_ts = np.asarray(g["f_ts"], dtype=np.int64)
+        f_eid = np.asarray(g["f_eid"], dtype=np.int64)
+        l_ts = np.asarray(g["l_ts"], dtype=np.int64)
+        l_eid = np.asarray(g["l_eid"], dtype=np.int64)
+        fi = np.lexsort((f_eid, f_ts))[0]
+        li = np.lexsort((l_eid, l_ts))[-1]
+        o_lon, o_lat = event_lonlat(f_eid[fi : fi + 1])
+        d_lon, d_lat = event_lonlat(l_eid[li : li + 1])
+        return pa.table(
+            {
+                "o_cell": pa.array([_anchor_cell(o_lon[0], o_lat[0])], pa.int64()),
+                "d_cell": pa.array([_anchor_cell(d_lon[0], d_lat[0])], pa.int64()),
+            }
+        )
+
+    def _flow_partials(b: pa.Table) -> pa.Table:
+        # one row per user arrives here; partial-count per (o,d) so the
+        # final exchange moves one row per (batch, flow), not per user
+        key = np.asarray(b["o_cell"], np.int64) * 10000 + np.asarray(b["d_cell"], np.int64)
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "o_cell": pa.array(uniq // 10000, pa.int64()),
+                "d_cell": pa.array(uniq % 10000, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    od = ds.map_batches(_partials, batch_format="pyarrow").groupby("user_id").map_groups(
+        _merge, batch_format="pyarrow"
+    )
+    out = od.map_batches(_flow_partials, batch_format="pyarrow").groupby(
+        ["o_cell", "d_cell"]
+    ).sum("n")
+    return out.map_batches(
+        lambda t: t.rename_columns(["o_cell", "d_cell", "n_users"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_od_flows() -> str:
+    c = HAUS_CELL_DEG
+    return f"""
+    WITH pts AS ({SQL_EVENT_PTS}),
+    rk AS (
+      SELECT user_id, lon, lat,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt
+      FROM pts
+    ),
+    od AS (
+      SELECT f.user_id,
+             CAST(floor((f.lon + 180.0)/{c}) AS BIGINT)*100
+             + CAST(floor((f.lat + 85.0)/{c}) AS BIGINT) AS o_cell,
+             CAST(floor((l.lon + 180.0)/{c}) AS BIGINT)*100
+             + CAST(floor((l.lat + 85.0)/{c}) AS BIGINT) AS d_cell
+      FROM rk f JOIN rk l ON f.user_id = l.user_id AND f.rn = 1 AND l.rn = l.cnt
+    )
+    SELECT o_cell, d_cell, CAST(count(*) AS BIGINT) AS n_users
+    FROM od GROUP BY o_cell, d_cell
+    """
+
+
 def q_polygon_area(sf_dir: str):
     """Planar shoelace area + vertex centroid per nation polygon (the
     vector-geometry scalar kernel family; exact ±*/ arithmetic in both
@@ -3057,6 +3260,8 @@ def registry() -> dict[str, tuple]:
         "polygon_area": (q_polygon_area, sql_polygon_area()),
         "coloc_pairs": (q_coloc_pairs, sql_coloc_pairs()),
         "coloc_pairs_m": (q_coloc_pairs_m, sql_coloc_pairs_m()),
+        "hausdorff_pairs": (q_hausdorff_pairs, sql_hausdorff_pairs()),
+        "od_flows": (q_od_flows, sql_od_flows()),
         "cluster_cells": (q_cluster_cells, sql_cluster_cells()),
         "agg_pricing": (q_agg_pricing, sql_agg_pricing()),
         "top_customers": (q_top_customers, sql_top_customers()),
