@@ -699,6 +699,26 @@ def _anchor_cell(lon0: float, lat0: float) -> int:
     return x * 100 + y
 
 
+def hausdorff_m(lon_a, lat_a, lon_b, lat_b) -> float:
+    """Symmetric Hausdorff distance between two point sets in meters —
+    ``max(max_a min_b d, max_b min_a d)`` with both direction matrices
+    evaluated explicitly (no float-symmetry assumption)."""
+    d_ab = hav_m(lon_a[:, None], lat_a[:, None], lon_b[None, :], lat_b[None, :])
+    d_ba = hav_m(lon_b[:, None], lat_b[:, None], lon_a[None, :], lat_a[None, :])
+    return max(d_ab.min(axis=1).max(), d_ba.min(axis=1).max())
+
+
+def od_first_last(uid: np.ndarray, eid: np.ndarray, ts: np.ndarray):
+    """Per-user first/last row indices by ascending ``(ts, eid)`` within an
+    arbitrary batch — the associative partial behind :func:`q_od_flows`
+    (any batch split merges to the same global first/last)."""
+    order = np.lexsort((eid, ts))  # ascending (ts, eid)
+    g = order[np.argsort(uid[order], kind="stable")]  # group by uid, keep order
+    starts = np.flatnonzero(np.r_[True, uid[g][1:] != uid[g][:-1]])
+    ends = np.r_[starts[1:], uid.size] - 1
+    return g[starts], g[ends]
+
+
 def q_hausdorff_pairs(sf_dir: str):
     """Symmetric Hausdorff distance between user-track pairs sharing an
     anchor cell (track-similarity / geofence-family join,
@@ -745,9 +765,7 @@ def q_hausdorff_pairs(sf_dir: str):
             lon_a, lat_a = pts[i]
             for j in range(i + 1, uid.size):
                 lon_b, lat_b = pts[j]
-                d_ab = hav_m(lon_a[:, None], lat_a[:, None], lon_b[None, :], lat_b[None, :])
-                d_ba = hav_m(lon_b[:, None], lat_b[:, None], lon_a[None, :], lat_a[None, :])
-                h = max(d_ab.min(axis=1).max(), d_ba.min(axis=1).max())
+                h = hausdorff_m(lon_a, lat_a, lon_b, lat_b)
                 ua.append(int(uid[i])), ub.append(int(uid[j])), hd.append(h)
         return pa.table(
             {
@@ -812,11 +830,7 @@ def q_od_flows(sf_dir: str):
         uid = np.asarray(b["user_id"], dtype=np.int64)
         eid = np.asarray(b["event_id"], dtype=np.int64)
         ts = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
-        order = np.lexsort((eid, ts))  # ascending (ts, eid)
-        g = order[np.argsort(uid[order], kind="stable")]  # group by uid, keep order
-        starts = np.flatnonzero(np.r_[True, uid[g][1:] != uid[g][:-1]])
-        ends = np.r_[starts[1:], uid.size] - 1
-        f, l = g[starts], g[ends]
+        f, l = od_first_last(uid, eid, ts)
         return pa.table(
             {
                 "user_id": pa.array(uid[f], pa.int64()),

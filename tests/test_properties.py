@@ -282,3 +282,79 @@ def test_access_grammar_matches_datetime_brute(
     # no explicit day/time token → all days / all minutes (parse defaults)
     expected = value if ok else (not value)
     assert got == expected, expr
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    na=st.integers(1, 12),
+    nb=st.integers(1, 12),
+)
+@settings(max_examples=120, deadline=None)
+def test_hausdorff_kernel_matches_scalar_brute(seed, na, nb):
+    """The vectorized symmetric-Hausdorff kernel equals a scalar
+    max-of-min double loop, and is symmetric / zero on identical sets."""
+    import math
+
+    from routers_ray.pipelines.queries import hausdorff_m, hav_m
+
+    rng = np.random.default_rng(seed)
+    lon_a = rng.uniform(-180.0, 179.9, na)
+    lat_a = rng.uniform(-85.0, 84.9, na)
+    lon_b = rng.uniform(-180.0, 179.9, nb)
+    lat_b = rng.uniform(-85.0, 84.9, nb)
+
+    def directed(l1, p1, l2, p2):
+        return max(
+            min(float(hav_m(l1[i], p1[i], l2[j], p2[j])) for j in range(l2.size))
+            for i in range(l1.size)
+        )
+
+    brute = max(directed(lon_a, lat_a, lon_b, lat_b), directed(lon_b, lat_b, lon_a, lat_a))
+    got = hausdorff_m(lon_a, lat_a, lon_b, lat_b)
+    assert math.isclose(got, brute, rel_tol=0.0, abs_tol=0.0), (got, brute)
+    # symmetry + identity
+    assert hausdorff_m(lon_b, lat_b, lon_a, lat_a) == got
+    assert hausdorff_m(lon_a, lat_a, lon_a, lat_a) == 0.0
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 200),
+    n_users=st.integers(1, 8),
+    n_splits=st.integers(1, 6),
+)
+@settings(max_examples=100, deadline=None)
+def test_od_first_last_partials_are_split_invariant(seed, n, n_users, n_splits):
+    """Per-batch first/last partials merged across an arbitrary batch split
+    equal the single-pass global first/last per user (the combiner law
+    behind q_od_flows); duplicate (ts, eid) keys allowed."""
+    from routers_ray.pipelines.queries import od_first_last
+
+    rng = np.random.default_rng(seed)
+    uid = rng.integers(0, n_users, n).astype(np.int64)
+    ts = rng.integers(0, 50, n).astype(np.int64)  # heavy ts ties
+    eid = rng.permutation(n).astype(np.int64)
+
+    f, l = od_first_last(uid, eid, ts)
+    want = {
+        int(uid[i]): ((int(ts[i]), int(eid[i])), (int(ts[j]), int(eid[j])))
+        for i, j in zip(f.tolist(), l.tolist())
+    }
+
+    # random split → per-split partials → merge by (ts, eid) min/max
+    cuts = np.sort(rng.integers(0, n + 1, n_splits - 1)) if n_splits > 1 else np.array([], np.int64)
+    merged: dict[int, tuple] = {}
+    for lo, hi in zip(np.r_[0, cuts], np.r_[cuts, n]):
+        if hi <= lo:
+            continue
+        u, e, t = uid[lo:hi], eid[lo:hi], ts[lo:hi]
+        pf, pl = od_first_last(u, e, t)
+        for i, j in zip(pf.tolist(), pl.tolist()):
+            k = int(u[i])
+            fk, lk = (int(t[i]), int(e[i])), (int(t[j]), int(e[j]))
+            if k in merged:
+                of, ol = merged[k]
+                merged[k] = (min(of, fk), max(ol, lk))
+            else:
+                merged[k] = (fk, lk)
+    assert merged == want
