@@ -905,6 +905,82 @@ def sql_od_flows() -> str:
     """
 
 
+def crossing_count(lon: np.ndarray, lat: np.ndarray) -> int:
+    """Count PROPER self-crossings of the polyline (strict orientation-sign
+    test on non-adjacent segment pairs; touching/collinear contacts are not
+    counted). Signs come from ±* arithmetic on the raw doubles, so the SQL
+    twin is bit-identical by IEEE determinism."""
+    m = lon.size - 1  # segments
+    if m < 3:
+        return 0
+    i, j = np.triu_indices(m, k=2)
+    x1, y1, x2, y2 = lon[i], lat[i], lon[i + 1], lat[i + 1]
+    bx1, by1, bx2, by2 = lon[j], lat[j], lon[j + 1], lat[j + 1]
+    d1 = (x2 - x1) * (by1 - y1) - (y2 - y1) * (bx1 - x1)
+    d2 = (x2 - x1) * (by2 - y1) - (y2 - y1) * (bx2 - x1)
+    d3 = (bx2 - bx1) * (y1 - by1) - (by2 - by1) * (x1 - bx1)
+    d4 = (bx2 - bx1) * (y2 - by1) - (by2 - by1) * (x2 - bx1)
+    return int(np.count_nonzero((d1 * d2 < 0) & (d3 * d4 < 0)))
+
+
+def q_track_crossings(sf_dir: str):
+    """Per-user track self-intersection count (geometry-validation
+    primitive — the segment-intersection kernel behind any
+    vector-geometry cleanup stage). One ``groupby(user_id)`` builds the
+    ordered track and runs the vectorized all-non-adjacent-pair
+    orientation test in-group; only (user, count) rows move."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def _cross(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        lon, lat = event_lonlat(eid[order])
+        return pa.table(
+            {
+                "user_id": g["user_id"].slice(0, 1).combine_chunks(),
+                "n_cross": pa.array([crossing_count(lon, lat)], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(_cross, batch_format="pyarrow")
+
+
+def sql_track_crossings() -> str:
+    return f"""
+    WITH pts AS ({SQL_EVENT_PTS}),
+    rk AS (
+      SELECT user_id, lon, lat,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM pts
+    ),
+    seg AS (
+      SELECT user_id, rn, lon AS x1, lat AS y1,
+             lead(lon) OVER w AS x2, lead(lat) OVER w AS y2
+      FROM rk WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    pr AS (
+      SELECT a.user_id,
+             (a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1) AS d1,
+             (a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1) AS d2,
+             (b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1) AS d3,
+             (b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1) AS d4
+      FROM seg a JOIN seg b
+        ON a.user_id = b.user_id AND b.rn >= a.rn + 2
+       AND a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+    ),
+    cnt AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN d1*d2 < 0 AND d3*d4 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+      FROM pr GROUP BY user_id
+    )
+    SELECT u.user_id, COALESCE(c.n_cross, 0) AS n_cross
+    FROM (SELECT DISTINCT user_id FROM pts) u LEFT JOIN cnt c USING (user_id)
+    """
+
+
 def q_polygon_area(sf_dir: str):
     """Planar shoelace area + vertex centroid per nation polygon (the
     vector-geometry scalar kernel family; exact ±*/ arithmetic in both
@@ -3276,6 +3352,7 @@ def registry() -> dict[str, tuple]:
         "coloc_pairs_m": (q_coloc_pairs_m, sql_coloc_pairs_m()),
         "hausdorff_pairs": (q_hausdorff_pairs, sql_hausdorff_pairs()),
         "od_flows": (q_od_flows, sql_od_flows()),
+        "track_crossings": (q_track_crossings, sql_track_crossings()),
         "cluster_cells": (q_cluster_cells, sql_cluster_cells()),
         "agg_pricing": (q_agg_pricing, sql_agg_pricing()),
         "top_customers": (q_top_customers, sql_top_customers()),

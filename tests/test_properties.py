@@ -358,3 +358,38 @@ def test_od_first_last_partials_are_split_invariant(seed, n, n_users, n_splits):
             else:
                 merged[k] = (fk, lk)
     assert merged == want
+
+
+@given(seed=st.integers(0, 10_000), n=st.integers(2, 20))
+@settings(max_examples=150, deadline=None)
+def test_crossing_count_matches_exact_rational_brute(seed, n):
+    """The vectorized float orientation test equals an exact-rational
+    (Fraction) proper-intersection brute count on integer random walks
+    (where doubles are exact, the float predicate IS the exact one)."""
+    from fractions import Fraction
+
+    from routers_ray.pipelines.queries import crossing_count
+
+    rng = np.random.default_rng(seed)
+    # small-step integer random walk → frequent genuine crossings + ties
+    steps = rng.integers(-3, 4, size=(n, 2))
+    pts = np.cumsum(steps, axis=0)
+    lon = pts[:, 0].astype(np.float64)
+    lat = pts[:, 1].astype(np.float64)
+
+    def ccw(ax, ay, bx, by, cx, cy):
+        return (Fraction(bx) - ax) * (Fraction(cy) - ay) - (Fraction(by) - ay) * (Fraction(cx) - ax)
+
+    m = n - 1
+    brute = 0
+    for i in range(m):
+        for j in range(i + 2, m):
+            a = (pts[i], pts[i + 1])
+            b = (pts[j], pts[j + 1])
+            d1 = ccw(*a[0], *a[1], *b[0])
+            d2 = ccw(*a[0], *a[1], *b[1])
+            d3 = ccw(*b[0], *b[1], *a[0])
+            d4 = ccw(*b[0], *b[1], *a[1])
+            if d1 * d2 < 0 and d3 * d4 < 0:
+                brute += 1
+    assert crossing_count(lon, lat) == brute
