@@ -1284,6 +1284,94 @@ def sql_pip_polygon(sf_dir: str = "/root/testdata/sf0.001") -> str:
     """
 
 
+def q_dwell_polygon(sf_dir: str):
+    """Geofence dwell time: per (user, nation polygon), the total time and
+    hop count spent on track segments whose BOTH endpoints are inside the
+    polygon (even-odd containment; integer-microsecond sums — exact in
+    both engines). The PIP + sessionize composition every geofence
+    analytics stage needs; polygons broadcast, one ``groupby(user_id)``
+    moves the points once for all 25 fences."""
+    import ray.data as rd
+
+    polys = _nation_polygons(sf_dir)
+    boxes = {k: (v[:, 0].min(), v[:, 0].max(), v[:, 1].min(), v[:, 1].max()) for k, v in polys.items()}
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def _dwell(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        lon, lat = event_lonlat(eid[order])
+        dt = ts[1:] - ts[:-1]
+        uid, polz, npairs, dwell = [], [], [], []
+        u = int(np.asarray(g["user_id"], dtype=np.int64)[0])
+        for k, verts in polys.items():
+            w, e, s, n = boxes[k]
+            env = (lon >= w) & (lon <= e) & (lat >= s) & (lat <= n)
+            if not env.any():
+                continue
+            ins = np.zeros(lon.size, dtype=bool)
+            ins[env] = _pip_even_odd(lon[env], lat[env], verts)
+            both = ins[:-1] & ins[1:]
+            c = int(both.sum())
+            if c:
+                uid.append(u), polz.append(k)
+                npairs.append(c), dwell.append(int(dt[both].sum()))
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "poly": pa.array(polz, pa.int64()),
+                "n_pairs": pa.array(npairs, pa.int64()),
+                "dwell_us": pa.array(dwell, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(_dwell, batch_format="pyarrow")
+
+
+def sql_dwell_polygon(sf_dir: str = "/root/testdata/sf0.001") -> str:
+    polys = _nation_polygons(sf_dir)
+    rows = []
+    for k, verts in polys.items():
+        x2 = np.roll(verts[:, 0], -1)
+        y2 = np.roll(verts[:, 1], -1)
+        for (vx, vy), ex, ey in zip(verts, x2, y2):
+            rows.append(f"({k}, {vx!r}, {vy!r}, {ex!r}, {ey!r})")
+    edges = ", ".join(rows)
+    return f"""
+    WITH pts AS ({SQL_EVENT_PTS}),
+    edges(poly, x1, y1, x2, y2) AS (VALUES {edges}),
+    ins AS (
+      SELECT p.event_id, e.poly
+      FROM pts p JOIN edges e
+        ON ((e.y1 > p.lat) != (e.y2 > p.lat))
+       AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+      GROUP BY p.event_id, e.poly
+      HAVING COUNT(*) % 2 = 1
+    ),
+    seq AS (
+      SELECT p.user_id, p.ts, p.event_id, pl.poly,
+             CASE WHEN i.event_id IS NOT NULL THEN 1 ELSE 0 END AS inside
+      FROM pts p
+      CROSS JOIN (SELECT DISTINCT poly FROM edges) pl
+      LEFT JOIN ins i ON i.event_id = p.event_id AND i.poly = pl.poly
+    ),
+    w AS (
+      SELECT user_id, poly, inside,
+             lag(inside) OVER w2 AS pinside,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w2 AS dt
+      FROM seq WINDOW w2 AS (PARTITION BY user_id, poly ORDER BY ts, event_id)
+    )
+    SELECT user_id, poly,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(dt) AS BIGINT) AS dwell_us
+    FROM w WHERE inside = 1 AND pinside = 1
+    GROUP BY user_id, poly
+    """
+
+
 def q_cluster_cells(sf_dir: str):
     """Cell-grouped clustering: cells (z10) holding ≥3 points become a
     cluster row with exact-integer centroid sums — the reference's
@@ -3353,6 +3441,7 @@ def registry() -> dict[str, tuple]:
         "hausdorff_pairs": (q_hausdorff_pairs, sql_hausdorff_pairs()),
         "od_flows": (q_od_flows, sql_od_flows()),
         "track_crossings": (q_track_crossings, sql_track_crossings()),
+        "dwell_polygon": (q_dwell_polygon, sql_dwell_polygon()),
         "cluster_cells": (q_cluster_cells, sql_cluster_cells()),
         "agg_pricing": (q_agg_pricing, sql_agg_pricing()),
         "top_customers": (q_top_customers, sql_top_customers()),
