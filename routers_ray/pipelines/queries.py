@@ -731,7 +731,14 @@ def q_hausdorff_pairs(sf_dir: str):
     one row per TRACK, never per point-pair; the per-pair min/max kernel
     is a vectorized haversine matrix. Both haversine directions are
     evaluated explicitly (hav(A_i,B_j) AND hav(B_j,A_i)) so the engine
-    makes no float-symmetry assumption the SQL oracle doesn't."""
+    makes no float-symmetry assumption the SQL oracle doesn't.
+
+    Partitioning assumption (100-TB note): pair count is quadratic in
+    tracks-per-cell BY SEMANTICS, so the anchor grid must be sized so a
+    cell's track count stays bounded (finer grid + the radius-join-style
+    replication for cross-cell pairs, or an LSH prefilter on track
+    sketches); the fixed 60° grid here matches the synthetic corpus's
+    density, not a scale recommendation."""
     import ray.data as rd
 
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
