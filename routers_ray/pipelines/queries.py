@@ -29,6 +29,7 @@ import pyarrow.parquet as papq
 R_EARTH = 6371008.8
 Z_CELL = 12
 Z_TILE = 15
+Z_EXTENT = 4  # extent-aggregate zoom: coarse boxes with real multi-point extents
 Z_CLUSTER = 5
 Z_RASTER = 2  # coarse zoom so the synthetic points actually share pixels
 RASTER_GRID = 32
@@ -1288,6 +1289,65 @@ def sql_pip_polygon(sf_dir: str = "/root/testdata/sf0.001") -> str:
       HAVING COUNT(*) % 2 = 1
     )
     SELECT poly, COUNT(*) AS n FROM hits GROUP BY poly
+    """
+
+
+def q_extent_cells(sf_dir: str):
+    """Per-cell extent aggregate (the ST_Extent analogue): bounding box +
+    point count per z4 tile. Min/max are pure selection (no arithmetic),
+    so the oracle is bit-exact; per-batch partial boxes mean the exchange
+    moves one row per (batch, cell)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _boxes(b: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(np.asarray(b["event_id"]))
+        x, y = _slippy_xy(lon, lat, Z_EXTENT)
+        key = (x.astype(np.int64) << np.int64(32)) | y.astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        k = key[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], k.size]
+        uniq = k[starts]
+        lo, la = lon[order], lat[order]
+        return pa.table(
+            {
+                "x": pa.array(uniq >> np.int64(32), pa.int64()),
+                "y": pa.array(uniq & np.int64(0xFFFFFFFF), pa.int64()),
+                "min_lon": pa.array(np.minimum.reduceat(lo, starts), pa.float64()),
+                "max_lon": pa.array(np.maximum.reduceat(lo, starts), pa.float64()),
+                "min_lat": pa.array(np.minimum.reduceat(la, starts), pa.float64()),
+                "max_lat": pa.array(np.maximum.reduceat(la, starts), pa.float64()),
+                "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_boxes, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(
+            Min("min_lon"), Max("max_lon"), Min("min_lat"), Max("max_lat"), Sum("n"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(
+            ["x", "y", "min_lon", "max_lon", "min_lat", "max_lat", "n"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sql_extent_cells() -> str:
+    x, y = SQL_SLIPPY(Z_EXTENT)
+    return f"""
+    WITH pts AS ({SQL_EVENT_PTS})
+    SELECT {x} AS x, {y} AS y,
+           MIN(lon) AS min_lon, MAX(lon) AS max_lon,
+           MIN(lat) AS min_lat, MAX(lat) AS max_lat,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pts GROUP BY 1, 2
     """
 
 
@@ -3449,6 +3509,7 @@ def registry() -> dict[str, tuple]:
         "od_flows": (q_od_flows, sql_od_flows()),
         "track_crossings": (q_track_crossings, sql_track_crossings()),
         "dwell_polygon": (q_dwell_polygon, sql_dwell_polygon()),
+        "extent_cells": (q_extent_cells, sql_extent_cells()),
         "cluster_cells": (q_cluster_cells, sql_cluster_cells()),
         "agg_pricing": (q_agg_pricing, sql_agg_pricing()),
         "top_customers": (q_top_customers, sql_top_customers()),
