@@ -1292,6 +1292,77 @@ def sql_pip_polygon(sf_dir: str = "/root/testdata/sf0.001") -> str:
     """
 
 
+def q_cell_transitions(sf_dir: str):
+    """Cell-transition (flow-map) matrix: consecutive-hop counts between
+    z4 tiles over each user's ordered track — od_flows' endpoint view
+    generalized to every hop. One ``groupby(user_id)`` orders the track
+    and emits per-user partial transition counts; a tiny
+    ``groupby((src,dst)).sum`` finishes (self-loops excluded — the
+    within-cell dwell case is q_dwell_polygon's job)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def _hops(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        lon, lat = event_lonlat(eid[order])
+        x, y = _slippy_xy(lon, lat, Z_EXTENT)
+        cell = (x << np.int64(32)) | y
+        src, dst = cell[:-1], cell[1:]
+        keep = src != dst
+        pairs = np.stack([src[keep], dst[keep]], axis=1)
+        if pairs.size == 0:
+            return pa.table(
+                {
+                    "src_x": pa.array([], pa.int64()), "src_y": pa.array([], pa.int64()),
+                    "dst_x": pa.array([], pa.int64()), "dst_y": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "src_x": pa.array(uniq[:, 0] >> np.int64(32), pa.int64()),
+                "src_y": pa.array(uniq[:, 0] & np.int64(0xFFFFFFFF), pa.int64()),
+                "dst_x": pa.array(uniq[:, 1] >> np.int64(32), pa.int64()),
+                "dst_y": pa.array(uniq[:, 1] & np.int64(0xFFFFFFFF), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(_hops, batch_format="pyarrow")
+        .groupby(["src_x", "src_y", "dst_x", "dst_y"])
+        .sum("n")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["src_x", "src_y", "dst_x", "dst_y", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_cell_transitions() -> str:
+    x, y = SQL_SLIPPY(Z_EXTENT)
+    return f"""
+    WITH pts AS ({SQL_EVENT_PTS}),
+    cells AS (
+      SELECT user_id, ts, event_id, {x} AS cx, {y} AS cy FROM pts
+    ),
+    hops AS (
+      SELECT user_id, cx AS dst_x, cy AS dst_y,
+             lag(cx) OVER w AS src_x, lag(cy) OVER w AS src_y
+      FROM cells WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT src_x, src_y, dst_x, dst_y, CAST(COUNT(*) AS BIGINT) AS n
+    FROM hops
+    WHERE src_x IS NOT NULL AND (src_x != dst_x OR src_y != dst_y)
+    GROUP BY src_x, src_y, dst_x, dst_y
+    """
+
+
 def q_extent_cells(sf_dir: str):
     """Per-cell extent aggregate (the ST_Extent analogue): bounding box +
     point count per z4 tile. Min/max are pure selection (no arithmetic),
@@ -3510,6 +3581,7 @@ def registry() -> dict[str, tuple]:
         "track_crossings": (q_track_crossings, sql_track_crossings()),
         "dwell_polygon": (q_dwell_polygon, sql_dwell_polygon()),
         "extent_cells": (q_extent_cells, sql_extent_cells()),
+        "cell_transitions": (q_cell_transitions, sql_cell_transitions()),
         "cluster_cells": (q_cluster_cells, sql_cluster_cells()),
         "agg_pricing": (q_agg_pricing, sql_agg_pricing()),
         "top_customers": (q_top_customers, sql_top_customers()),
