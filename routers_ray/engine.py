@@ -130,3 +130,33 @@ class Engine:
         from .mvt import mvt_tiles
 
         return mvt_tiles(matched_ok_ds, zoom, layer_name)
+
+    def hausdorff(self, points_ds, key_col: str, cell_deg: float = 60.0, **kw):
+        """Track-pair symmetric Hausdorff join (anchor-cell pairing)."""
+        from .trackops import hausdorff_pairs
+
+        return hausdorff_pairs(points_ds, key_col=key_col, cell_deg=cell_deg, **kw)
+
+    def crossings(self, points_ds, key_col: str, **kw):
+        """Per-track proper self-intersection counts."""
+        from .trackops import track_crossings
+
+        return track_crossings(points_ds, key_col=key_col, **kw)
+
+    def dwell(self, points_ds, polygons, key_col: str, **kw):
+        """Per (track, fence) dwell time over broadcast polygons."""
+        from .trackops import geofence_dwell
+
+        return geofence_dwell(points_ds, polygons, key_col=key_col, **kw)
+
+    def extent(self, points_ds, z: int, **kw):
+        """Per-cell bounding-box aggregate (ST_Extent analogue)."""
+        from .trackops import extent_cells
+
+        return extent_cells(points_ds, z=z, **kw)
+
+    def transitions(self, points_ds, z: int, key_col: str, **kw):
+        """Consecutive-hop cell flow matrix per track."""
+        from .trackops import cell_transitions
+
+        return cell_transitions(points_ds, z=z, key_col=key_col, **kw)

@@ -1,0 +1,224 @@
+"""Generic track-analytics stages over point Datasets with explicit
+``(key, lon, lat, order)`` columns — the reusable-facade form of the
+fused event-table queries in :mod:`routers_ray.pipelines.queries`
+(which derive coordinates from ids inside groups to keep exchange
+bytes down; these take real columns so any table can use them).
+
+All heavy math is shared with the query registry: the symmetric
+Hausdorff matrix kernel, the orientation-sign crossing counter, the
+even-odd containment test and the associative first/last partial, so
+both surfaces stay bit-identical by construction. Shapes follow the
+registry versions (reference semantics cited there): per-track rows
+move exactly once; finishes are small groupbys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ordered(g: pa.Table, lon_col: str, lat_col: str, order_cols: tuple[str, ...]):
+    keys = [g[c].to_numpy(zero_copy_only=False) for c in reversed(order_cols)]
+    order = np.lexsort(tuple(keys))
+    lon = g[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+    lat = g[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+    return lon, lat, order
+
+
+def _ts_us(col) -> np.ndarray:
+    v = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(v.dtype, np.datetime64):
+        return v.astype("datetime64[us]").view(np.int64)
+    return v.astype(np.int64)
+
+
+def hausdorff_pairs(points_ds, *, key_col: str, lon_col: str = "lon",
+                    lat_col: str = "lat", order_cols: tuple[str, ...] = ("ts",),
+                    cell_deg: float = 60.0):
+    """Symmetric Hausdorff distance between track pairs sharing the
+    anchor cell of their first point (see ``q_hausdorff_pairs`` for the
+    shape and the quadratic-per-cell partitioning caveat)."""
+    from .pipelines.queries import hausdorff_m, r3
+
+    def _track(g: pa.Table) -> pa.Table:
+        lon, lat, _ = _ordered(g, lon_col, lat_col, order_cols)
+        cx = int(np.floor((lon[0] + 180.0) / cell_deg))
+        cy = int(np.floor((lat[0] + 90.0) / cell_deg))
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1).combine_chunks(),
+                "cell": pa.array([cx * 1000 + cy], pa.int64()),
+                "pts": pa.array([np.concatenate([lon, lat]).tobytes()], pa.binary()),
+            }
+        )
+
+    tracks = points_ds.groupby(key_col).map_groups(_track, batch_format="pyarrow")
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        kid = np.asarray(g[key_col])
+        blobs = g["pts"].to_pylist()
+        order = np.argsort(kid, kind="stable")
+        kid = kid[order]
+        pts = []
+        for i in order.tolist():
+            v = np.frombuffer(blobs[i], dtype=np.float64)
+            pts.append((v[: v.size // 2], v[v.size // 2:]))
+        ka, kb, hd = [], [], []
+        for i in range(kid.size):
+            for j in range(i + 1, kid.size):
+                ka.append(kid[i]), kb.append(kid[j])
+                hd.append(hausdorff_m(pts[i][0], pts[i][1], pts[j][0], pts[j][1]))
+        return pa.table(
+            {
+                "a": pa.array(ka),
+                "b": pa.array(kb),
+                "hd_m": pa.array(r3(np.asarray(hd, dtype=np.float64)), pa.float64()),
+            }
+        )
+
+    return tracks.groupby("cell").map_groups(_pairs, batch_format="pyarrow")
+
+
+def track_crossings(points_ds, *, key_col: str, lon_col: str = "lon",
+                    lat_col: str = "lat", order_cols: tuple[str, ...] = ("ts",)):
+    """Per-track proper self-intersection count (see ``q_track_crossings``)."""
+    from .pipelines.queries import crossing_count
+
+    def _cross(g: pa.Table) -> pa.Table:
+        lon, lat, _ = _ordered(g, lon_col, lat_col, order_cols)
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1).combine_chunks(),
+                "n_cross": pa.array([crossing_count(lon, lat)], pa.int64()),
+            }
+        )
+
+    return points_ds.groupby(key_col).map_groups(_cross, batch_format="pyarrow")
+
+
+def geofence_dwell(points_ds, polygons: dict[int, np.ndarray], *, key_col: str,
+                   lon_col: str = "lon", lat_col: str = "lat", ts_col: str = "ts",
+                   order_cols: tuple[str, ...] | None = None):
+    """Per (track, polygon) both-endpoints-inside segment count and total
+    dwell microseconds (see ``q_dwell_polygon``). ``polygons`` maps an
+    int id to an (n,2) vertex array (broadcast — keep the dict small or
+    ship it via ``ray.put`` at the call site)."""
+    from .pipelines.queries import _pip_even_odd
+
+    order_cols = order_cols or (ts_col,)
+    boxes = {k: (v[:, 0].min(), v[:, 0].max(), v[:, 1].min(), v[:, 1].max())
+             for k, v in polygons.items()}
+
+    def _dwell(g: pa.Table) -> pa.Table:
+        lon, lat, order = _ordered(g, lon_col, lat_col, order_cols)
+        ts = _ts_us(g[ts_col])[order]
+        dt = ts[1:] - ts[:-1]
+        key0 = g[key_col].slice(0, 1).combine_chunks()
+        kid, polz, npairs, dwell = [], [], [], []
+        for k, verts in polygons.items():
+            w, e, s, n = boxes[k]
+            env = (lon >= w) & (lon <= e) & (lat >= s) & (lat <= n)
+            if not env.any():
+                continue
+            ins = np.zeros(lon.size, dtype=bool)
+            ins[env] = _pip_even_odd(lon[env], lat[env], verts)
+            both = ins[:-1] & ins[1:]
+            c = int(both.sum())
+            if c:
+                kid.append(key0[0].as_py()), polz.append(k)
+                npairs.append(c), dwell.append(int(dt[both].sum()))
+        return pa.table(
+            {
+                key_col: pa.array(kid, key0.type),
+                "poly": pa.array(polz, pa.int64()),
+                "n_pairs": pa.array(npairs, pa.int64()),
+                "dwell_us": pa.array(dwell, pa.int64()),
+            }
+        )
+
+    return points_ds.groupby(key_col).map_groups(_dwell, batch_format="pyarrow")
+
+
+def extent_cells(points_ds, *, z: int, lon_col: str = "lon", lat_col: str = "lat"):
+    """Per-cell bounding box + count at slippy zoom ``z`` (see
+    ``q_extent_cells``): per-batch partial boxes, Min/Max/Sum finish."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .pipelines.queries import _slippy_xy
+
+    def _boxes(b: pa.Table) -> pa.Table:
+        lon = b[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = b[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x, y = _slippy_xy(lon, lat, z)
+        key = (x.astype(np.int64) << np.int64(32)) | y.astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        k = key[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], k.size]
+        lo, la = lon[order], lat[order]
+        return pa.table(
+            {
+                "x": pa.array(k[starts] >> np.int64(32), pa.int64()),
+                "y": pa.array(k[starts] & np.int64(0xFFFFFFFF), pa.int64()),
+                "min_lon": pa.array(np.minimum.reduceat(lo, starts), pa.float64()),
+                "max_lon": pa.array(np.maximum.reduceat(lo, starts), pa.float64()),
+                "min_lat": pa.array(np.minimum.reduceat(la, starts), pa.float64()),
+                "max_lat": pa.array(np.maximum.reduceat(la, starts), pa.float64()),
+                "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        points_ds.map_batches(_boxes, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Min("min_lon"), Max("max_lon"), Min("min_lat"), Max("max_lat"), Sum("n"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["x", "y", "min_lon", "max_lon", "min_lat", "max_lat", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+def cell_transitions(points_ds, *, z: int, key_col: str, lon_col: str = "lon",
+                     lat_col: str = "lat", order_cols: tuple[str, ...] = ("ts",)):
+    """Consecutive-hop flow matrix between zoom-``z`` cells (see
+    ``q_cell_transitions``; self-loops excluded)."""
+    from .pipelines.queries import _slippy_xy
+
+    def _hops(g: pa.Table) -> pa.Table:
+        lon, lat, _ = _ordered(g, lon_col, lat_col, order_cols)
+        x, y = _slippy_xy(lon, lat, z)
+        cell = (x << np.int64(32)) | y
+        src, dst = cell[:-1], cell[1:]
+        keep = src != dst
+        pairs = np.stack([src[keep], dst[keep]], axis=1)
+        if pairs.size == 0:
+            return pa.table(
+                {
+                    "src_x": pa.array([], pa.int64()), "src_y": pa.array([], pa.int64()),
+                    "dst_x": pa.array([], pa.int64()), "dst_y": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "src_x": pa.array(uniq[:, 0] >> np.int64(32), pa.int64()),
+                "src_y": pa.array(uniq[:, 0] & np.int64(0xFFFFFFFF), pa.int64()),
+                "dst_x": pa.array(uniq[:, 1] >> np.int64(32), pa.int64()),
+                "dst_y": pa.array(uniq[:, 1] & np.int64(0xFFFFFFFF), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        points_ds.groupby(key_col)
+        .map_groups(_hops, batch_format="pyarrow")
+        .groupby(["src_x", "src_y", "dst_x", "dst_y"])
+        .sum("n")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["src_x", "src_y", "dst_x", "dst_y", "n"]),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,128 @@
+"""Generic trackops stages (explicit lon/lat/key columns) agree with the
+fused event-table registry queries on the same world — both surfaces run
+the shared kernels, so equality must be exact."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as papq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def points_table():
+    from routers_ray.pipelines.queries import event_lonlat
+
+    t = papq.read_table(f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "ts"])
+    eid = np.asarray(t["event_id"], dtype=np.int64)
+    lon, lat = event_lonlat(eid)
+    return pa.table(
+        {
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts": t["ts"],
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+        }
+    )
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_trackops_crossings_equals_query(ray_session, points_table):
+    import ray.data as rd
+
+    from routers_ray.pipelines.queries import q_track_crossings
+    from routers_ray.trackops import track_crossings
+
+    got = track_crossings(
+        rd.from_arrow(points_table), key_col="user_id", order_cols=("ts", "event_id")
+    ).to_pandas()
+    want = q_track_crossings(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_trackops_dwell_equals_query(ray_session, points_table):
+    import ray.data as rd
+
+    from routers_ray.pipelines.queries import _nation_polygons, q_dwell_polygon
+    from routers_ray.trackops import geofence_dwell
+
+    got = geofence_dwell(
+        rd.from_arrow(points_table), _nation_polygons(SF_DIR),
+        key_col="user_id", ts_col="ts", order_cols=("ts", "event_id"),
+    ).to_pandas()
+    want = q_dwell_polygon(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_trackops_extent_equals_query(ray_session, points_table):
+    import ray.data as rd
+
+    from routers_ray.pipelines.queries import Z_EXTENT, q_extent_cells
+    from routers_ray.trackops import extent_cells
+
+    got = extent_cells(rd.from_arrow(points_table), z=Z_EXTENT).to_pandas()
+    want = q_extent_cells(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_trackops_transitions_equals_query(ray_session, points_table):
+    import ray.data as rd
+
+    from routers_ray.pipelines.queries import Z_EXTENT, q_cell_transitions
+    from routers_ray.trackops import cell_transitions
+
+    got = cell_transitions(
+        rd.from_arrow(points_table), z=Z_EXTENT, key_col="user_id",
+        order_cols=("ts", "event_id"),
+    ).to_pandas()
+    want = q_cell_transitions(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_trackops_hausdorff_matches_brute(ray_session, points_table):
+    """The generic Hausdorff join (lat+90 anchor domain) against a full
+    driver-side brute recomputation of the same pairing rule."""
+    import ray.data as rd
+
+    from routers_ray.pipelines.queries import hausdorff_m, r3
+    from routers_ray.trackops import hausdorff_pairs
+
+    got = (
+        hausdorff_pairs(
+            rd.from_arrow(points_table), key_col="user_id",
+            order_cols=("ts", "event_id"), cell_deg=60.0,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+    df = points_table.to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    tracks, anchors = {}, {}
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        lon, lat = g["lon"].to_numpy(), g["lat"].to_numpy()
+        tracks[u] = (lon, lat)
+        anchors[u] = (
+            int(np.floor((lon[0] + 180.0) / 60.0)) * 1000
+            + int(np.floor((lat[0] + 90.0) / 60.0))
+        )
+    rows = []
+    users = sorted(tracks)
+    for i, ua in enumerate(users):
+        for ub in users[i + 1:]:
+            if anchors[ua] != anchors[ub]:
+                continue
+            h = hausdorff_m(*tracks[ua], *tracks[ub])
+            rows.append((ua, ub, float(r3(np.asarray([h]))[0])))
+    want = pd.DataFrame(rows, columns=["a", "b", "hd_m"]).sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
