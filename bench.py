@@ -270,7 +270,9 @@ def run_bench() -> dict:
     for name in ("cell_assign", "haversine_track", "nn_station", "agg_pricing",
                  "dedup_exact", "token_stats", "ann_topk",
                  # round-4 second-pass families: raster, sketch, polygon PIP
-                 "rasterize", "raster_runs", "hll_users", "pip_polygon"):
+                 "rasterize", "raster_runs", "hll_users", "pip_polygon",
+                 # round-4 fifth-pass track analytics: pair join, flows, dwell
+                 "hausdorff_pairs", "cell_transitions", "dwell_polygon"):
         fn, _ = reg[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)
