@@ -65,8 +65,32 @@ def append_manifest(out_dir: str, rows: list[dict]) -> None:
     os.replace(tmp, manifest_path(out_dir))
 
 
+def partition_manifest_rows(out_dir: str) -> list[dict]:
+    """Lineage rows from the per-partition ``_manifest.json`` sidecars —
+    written INSIDE each partition dir before its atomic rename, so a run
+    killed before the end-of-run manifest append still leaves every
+    finished partition's row durable next to its data."""
+    import glob
+
+    rows = []
+    for p in glob.glob(os.path.join(out_dir, "parts", "*", "_manifest.json")):
+        try:
+            with open(p) as f:
+                rows.append(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            continue  # unreadable sidecar → treat the partition as not done
+    return rows
+
+
+def all_manifest_rows(out_dir: str) -> list[dict]:
+    """Union of manifest.jsonl and partition sidecars (jsonl wins on id)."""
+    rows = {r["partition_id"]: r for r in partition_manifest_rows(out_dir)}
+    rows.update({r["partition_id"]: r for r in read_manifest(out_dir)})
+    return list(rows.values())
+
+
 def completed_partitions(out_dir: str) -> set[str]:
-    return {r["partition_id"] for r in read_manifest(out_dir)}
+    return {r["partition_id"] for r in all_manifest_rows(out_dir)}
 
 
 # ---------------------------------------------------------------------------
@@ -152,36 +176,48 @@ def run_checkpointed(
         tmp = pdir + ".tmp"
         os.makedirs(tmp, exist_ok=True)
         pq.write_table(matched, os.path.join(tmp, "part.parquet"))
-        if os.path.exists(pdir):
-            import shutil
-
-            shutil.rmtree(pdir)
-        os.replace(tmp, pdir)
         ts_col = group["pts_ts"]
         flat_ts = (
             ts_col.combine_chunks().flatten() if isinstance(ts_col, pa.ChunkedArray) else ts_col.flatten()
         )
         max_ts = pc.max(flat_ts).as_py() if len(flat_ts) else None
+        row = {
+            "partition_id": pid,
+            "cell": cell,
+            "salt": salt,
+            "rows_in": len(group),
+            "rows_out": len(matched),
+            "max_ts": int(max_ts) if max_ts is not None else -1,
+            "t_ms": (time.perf_counter() - t0) * 1000.0,
+            "revision_epoch": revision_epoch,
+            # window-network cache effectiveness while matching this
+            # partition (anchor-cell keying, network.py network_for_doc)
+            "net_cache_hits": st.net_cache_hits - h0,
+            "net_cache_misses": st.net_cache_misses - m0,
+            # worst-case resident bytes of this worker's network LRU
+            # (max_networks x heaviest window x bytes/row) — the
+            # measured criterion the lean-vs-hash route choice uses
+            "lean_bound_bytes": st.lean_memory_bound()["bound_bytes"],
+        }
+        # the lineage row rides INSIDE the partition's atomic rename — a
+        # killed run leaves no manifest.jsonl entry, but every finished
+        # partition stays skippable via its sidecar
+        with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+            json.dump(row, f)
+        if os.path.exists(pdir):
+            import shutil
+
+            shutil.rmtree(pdir)
+        os.replace(tmp, pdir)
         return pa.table(
             {
-                "partition_id": pa.array([pid], pa.string()),
-                "cell": pa.array([cell], pa.int64()),
-                "salt": pa.array([salt], pa.int32()),
-                "rows_in": pa.array([len(group)], pa.int64()),
-                "rows_out": pa.array([len(matched)], pa.int64()),
-                "max_ts": pa.array([max_ts if max_ts is not None else -1], pa.int64()),
-                "t_ms": pa.array([(time.perf_counter() - t0) * 1000.0], pa.float64()),
-                "revision_epoch": pa.array([revision_epoch], pa.int64()),
-                # window-network cache effectiveness while matching this
-                # partition (anchor-cell keying, network.py network_for_doc)
-                "net_cache_hits": pa.array([st.net_cache_hits - h0], pa.int64()),
-                "net_cache_misses": pa.array([st.net_cache_misses - m0], pa.int64()),
-                # worst-case resident bytes of this worker's network LRU
-                # (max_networks x heaviest window x bytes/row) — the
-                # measured criterion the lean-vs-hash route choice uses
-                "lean_bound_bytes": pa.array(
-                    [st.lean_memory_bound()["bound_bytes"]], pa.int64()
-                ),
+                k: pa.array([v], t)
+                for (k, v), t in zip(
+                    row.items(),
+                    [pa.string(), pa.int64(), pa.int32(), pa.int64(), pa.int64(),
+                     pa.int64(), pa.float64(), pa.int64(), pa.int64(), pa.int64(),
+                     pa.int64()],
+                )
             }
         )
 
@@ -191,7 +227,15 @@ def run_checkpointed(
     rows = result.to_pandas()
     rows = rows[rows["partition_id"] != ""] if len(rows) else rows
     new_rows = rows.to_dict("records") if len(rows) else []
-    append_manifest(out_dir, new_rows)
+    # consolidate: new rows + sidecar rows a crashed predecessor wrote but
+    # never reached its manifest append (their partitions were skipped)
+    in_jsonl = {r["partition_id"] for r in read_manifest(out_dir)}
+    new_ids = {r["partition_id"] for r in new_rows}
+    recovered = [
+        r for r in partition_manifest_rows(out_dir)
+        if r["partition_id"] not in in_jsonl and r["partition_id"] not in new_ids
+    ]
+    append_manifest(out_dir, new_rows + recovered)
     return {
         "computed": len(new_rows),
         "skipped": len(done),

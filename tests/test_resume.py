@@ -82,16 +82,22 @@ def test_rerun_skips_everything(world, tmp_path):
 
 
 def test_interrupted_resume_equals_full(world, tmp_path):
+    import os
+    import shutil
+
     out_a = str(tmp_path / "out_a")  # uninterrupted
     out_b = str(tmp_path / "out_b")  # interrupted + resumed
     _run(world, out_a)
     _run(world, out_b)
-    # simulate a crash: drop the last manifest rows (their parts linger)
+    # simulate a crash that also lost some partition dirs entirely: drop
+    # the last manifest rows AND their parts (the recompute path)
     man = read_manifest(out_b)
     keep = man[: len(man) // 2]
     with open(manifest_path(out_b), "w") as f:
         for r in keep:
             f.write(json.dumps(r) + "\n")
+    for r in man[len(man) // 2:]:
+        shutil.rmtree(os.path.join(out_b, "parts", r["partition_id"]))
     stats = _run(world, out_b)
     assert stats["computed"] == len(man) - len(keep)
     assert stats["skipped"] == len(keep)
@@ -332,3 +338,34 @@ def test_incremental_state_is_sharded(world, tmp_path):
     )
     emitted2 = set(out2["doc_id"].to_pylist())
     assert not (emitted2 & short)  # every short doc skipped
+
+
+def test_killed_run_resumes_from_sidecars(world, tmp_path):
+    """A run killed BEFORE its end-of-run manifest append (manifest.jsonl
+    empty/truncated, partition dirs present with their `_manifest.json`
+    sidecars) must skip every finished partition and consolidate the
+    recovered rows back into manifest.jsonl."""
+    import os
+
+    out = str(tmp_path / "out_kill")
+    _run(world, out)
+    man = read_manifest(out)
+    # simulate the kill: the jsonl append never happened
+    os.remove(manifest_path(out))
+    before = read_matched(out).to_pandas()
+
+    stats = _run(world, out)
+    assert stats["computed"] == 0
+    assert stats["skipped"] == len(man)
+    # consolidation restored every sidecar row into the jsonl
+    restored = read_manifest(out)
+    assert {r["partition_id"] for r in restored} == {r["partition_id"] for r in man}
+
+    after = read_matched(out).to_pandas()
+    cols = ["doc_id", "seq", "status", "edge_id", "src", "dst", "cost"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        before[cols].sort_values(cols).reset_index(drop=True),
+        after[cols].sort_values(cols).reset_index(drop=True),
+    )
