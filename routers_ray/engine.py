@@ -160,3 +160,9 @@ class Engine:
         from .trackops import cell_transitions
 
         return cell_transitions(points_ds, z=z, key_col=key_col, **kw)
+
+    def heavy_hitters(self, ds, value_fn, theta: float, k: int | None = None):
+        """Exact frequent items via MG prefilter + broadcast recount."""
+        from .sketch import heavy_hitters
+
+        return heavy_hitters(ds, value_fn, theta, k)

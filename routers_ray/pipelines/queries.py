@@ -1122,6 +1122,58 @@ def sql_cover_cells() -> str:
     """
 
 
+HEAVY_THETA = 0.02  # frequent-item threshold (k = 50 counters)
+
+
+def _heavy_items_of(b: pa.Table) -> np.ndarray:
+    """Geometric-skew item stream derived from hashed event ids: the item
+    is the trailing-zero count of the md5-u64 hash (P(item=i) = 2^-(i+1)),
+    integer-exact in both engines via log2 of the isolated low bit — the
+    HLL rho observable reused as a skewed domain."""
+    from ..sketch import md5_u64
+
+    h = md5_u64([str(e) for e in b["event_id"].to_pylist()])
+    low = h & ((~h) + np.uint64(1))
+    item = np.where(
+        h == 0, np.int64(64),
+        np.log2(np.maximum(low, np.uint64(1)).astype(np.float64)).astype(np.int64),
+    )
+    return item.astype(np.int64)
+
+
+def q_heavy_items(sf_dir: str):
+    """EXACT heavy hitters (count ≥ 2% of N) over a skewed item stream —
+    the Misra-Gries prefilter + exact-recount two-pass
+    (:func:`routers_ray.sketch.heavy_hitters`): bounded per-batch
+    summaries, ≤ k candidate keys on the driver, one broadcast recount.
+    The shape that replaces a full value-domain groupby at 10^12 rows;
+    the final table is exact, so the SQL oracle is a plain
+    GROUP BY ... HAVING."""
+    import ray.data as rd
+
+    from ..sketch import heavy_hitters
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+    return heavy_hitters(ds, _heavy_items_of, HEAVY_THETA)
+
+
+def sql_heavy_items() -> str:
+    return f"""
+    WITH h AS (
+      SELECT md5_number_upper(CAST(event_id AS VARCHAR)) AS hv FROM events
+    ),
+    items AS (
+      SELECT CASE WHEN hv = 0 THEN 64
+             ELSE CAST(log2(CAST(greatest(hv & ((~hv) + 1), 1) AS DOUBLE)) AS BIGINT)
+             END AS item
+      FROM h
+    )
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM items GROUP BY item
+    HAVING COUNT(*) >= {HEAVY_THETA} * (SELECT COUNT(*) FROM items)
+    """
+
+
 def q_cms_users(sf_dir: str):
     """Count-Min sketch of per-user event counts (depth 4 × width 1024):
     per-batch unique-key combiner → bounded counter partials → one tiny
@@ -3589,6 +3641,7 @@ def registry() -> dict[str, tuple]:
         "distinct_users": (q_distinct_users, sql_distinct_users()),
         "hll_users": (q_hll_users, sql_hll_users()),
         "cms_users": (q_cms_users, sql_cms_users()),
+        "heavy_items": (q_heavy_items, sql_heavy_items()),
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
         "token_stats": (q_token_stats, sql_token_stats()),
         "token_bpe": (q_token_bpe, sql_token_bpe()),

@@ -41,6 +41,9 @@ __all__ = [
     "cms_sketch",
     "cms_merge",
     "cms_query",
+    "mg_summary",
+    "mg_merge",
+    "heavy_hitters",
 ]
 
 
@@ -176,3 +179,88 @@ def hll_estimate(dense: np.ndarray) -> float:
     if raw <= 2.5 * m and zeros:
         return float(m * np.log(m / zeros))
     return float(raw)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (sketch-prefilter + exact-recount two-pass)
+
+
+def mg_summary(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Order-free Misra-Gries summary of exact (key, count) pairs: keep
+    the k largest-count keys with the (k+1)-th largest count subtracted
+    (the mergeable-summaries form, Agarwal et al., PODS 2012). Undercount
+    is at most n/(k+1), and no key with count > n/(k+1) is dropped — the
+    no-false-negative guarantee the recount pass relies on."""
+    if keys.size <= k:
+        return keys, counts
+    order = np.argsort(counts, kind="stable")[::-1]
+    d = counts[order[k]]
+    keep = order[:k]
+    newc = counts[keep] - d
+    pos = newc > 0
+    return keys[keep][pos], newc[pos]
+
+
+def mg_merge(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Merge concatenated summary rows: sum per key, then re-summarize.
+    Composition preserves the MG guarantee (mergeable summaries)."""
+    uniq, inv = np.unique(keys, return_inverse=True)
+    sums = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(sums, inv, counts)
+    return mg_summary(uniq, sums, k)
+
+
+def heavy_hitters(ds, value_fn, theta: float, k: int | None = None):
+    """EXACT frequent items (count ≥ theta·N) at bounded memory — the
+    10^12-row shape where a full groupby over the value domain is off the
+    table: per-batch MG summaries (≤ k rows each, plus one total row) →
+    driver merge (the candidate set, ≤ k keys — NEVER misses a true heavy
+    while k ≥ 1/theta) → broadcast exact recount of the candidates only →
+    threshold filter. The final output is exact and partitioning-invariant
+    even though the intermediate summaries aren't.
+
+    ``value_fn(batch) -> np.ndarray`` of int64 items. Returns a pyarrow
+    Table (item, n) — at most k rows.
+    """
+    if k is None:
+        k = max(int(np.ceil(1.0 / theta)), 1)
+
+    def _partials(b: pa.Table) -> pa.Table:
+        vals = np.asarray(value_fn(b), dtype=np.int64)
+        u, c = np.unique(vals, return_counts=True)
+        ks, cs = mg_summary(u, c.astype(np.int64), k)
+        # one sentinel row (kind=1) carries the batch item-count so the
+        # driver learns N without a second pass over the data
+        return pa.table(
+            {
+                "item": pa.array(np.r_[ks, [-1]], pa.int64()),
+                "n": pa.array(np.r_[cs, [vals.size]].astype(np.int64), pa.int64()),
+                "kind": pa.array(np.r_[np.zeros(ks.size, np.int8), [1]], pa.int8()),
+            }
+        )
+
+    parts = ds.map_batches(_partials, batch_format="pyarrow").to_pandas()
+    total = int(parts.loc[parts["kind"] == 1, "n"].sum())
+    mg = parts[parts["kind"] == 0]
+    cand_keys, _ = mg_merge(
+        mg["item"].to_numpy(np.int64), mg["n"].to_numpy(np.int64), k
+    )
+    if cand_keys.size == 0 or total == 0:
+        return pa.table({"item": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    cand = np.sort(cand_keys)
+
+    def _recount(b: pa.Table) -> pa.Table:
+        vals = np.asarray(value_fn(b), dtype=np.int64)
+        keep = vals[np.isin(vals, cand)]
+        u, c = np.unique(keep, return_counts=True)
+        return pa.table(
+            {"item": pa.array(u, pa.int64()), "n": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    agg = ds.map_batches(_recount, batch_format="pyarrow").groupby("item").sum("n")
+    pdf = agg.to_pandas()
+    pdf.columns = ["item", "n"]
+    pdf = pdf[pdf["n"] >= theta * total].sort_values("item").reset_index(drop=True)
+    return pa.table(
+        {"item": pa.array(pdf["item"].astype("int64")), "n": pa.array(pdf["n"].astype("int64"))}
+    )

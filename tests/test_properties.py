@@ -393,3 +393,39 @@ def test_crossing_count_matches_exact_rational_brute(seed, n):
             if d1 * d2 < 0 and d3 * d4 < 0:
                 brute += 1
     assert crossing_count(lon, lat) == brute
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    zipf_a=st.floats(1.2, 2.5),
+    k=st.integers(2, 64),
+    n_chunks=st.integers(1, 8),
+)
+@settings(max_examples=100, deadline=None)
+def test_mg_merge_never_drops_a_true_heavy(seed, zipf_a, k, n_chunks):
+    """Mergeable Misra-Gries guarantee: after arbitrary chunking, per-chunk
+    summaries and a merge, every item with count > n/(k+1) survives as a
+    candidate (the no-false-negative property heavy_hitters' exact recount
+    relies on)."""
+    from routers_ray.sketch import mg_merge, mg_summary
+
+    rng = np.random.default_rng(seed)
+    vals = rng.zipf(zipf_a, 5000)
+    vals = vals[vals < 100_000]
+    if vals.size == 0:
+        return
+    chunks = np.array_split(rng.permutation(vals), n_chunks)
+    ks_all, cs_all = [], []
+    for ch in chunks:
+        if ch.size == 0:
+            continue
+        u, c = np.unique(ch, return_counts=True)
+        a, b = mg_summary(u, c.astype(np.int64), k)
+        ks_all.append(a), cs_all.append(b)
+    mk, _ = mg_merge(
+        np.concatenate(ks_all), np.concatenate(cs_all).astype(np.int64), k
+    )
+    u, c = np.unique(vals, return_counts=True)
+    heavies = set(u[c > vals.size / (k + 1)].tolist())
+    assert heavies <= set(mk.tolist())
+    assert mk.size <= k
