@@ -166,3 +166,11 @@ class Engine:
         from .sketch import heavy_hitters
 
         return heavy_hitters(ds, value_fn, theta, k)
+
+    def radius_join(self, points_ds, r_deg: float, id_col: str, **kw):
+        """Distributed radius self-join (co-location pairs); see
+        :func:`routers_ray.spatialjoin.radius_self_join` for the metric
+        variant and the replication-bound contract."""
+        from .spatialjoin import radius_self_join
+
+        return radius_self_join(points_ds, r_deg, id_col, **kw)

@@ -126,3 +126,23 @@ def test_trackops_hausdorff_matches_brute(ray_session, points_table):
     want = pd.DataFrame(rows, columns=["a", "b", "hd_m"]).sort_values(["a", "b"]).reset_index(drop=True)
     assert len(got) == len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_engine_facade_geo_methods_run(ray_session, points_table):
+    """The Engine facade's geo methods are callable without a network
+    store (pure Dataset stages) and produce the expected shapes."""
+    import ray.data as rd
+
+    from routers_ray.engine import Engine
+
+    eng = Engine.__new__(Engine)  # geo ops don't touch matcher state
+    ds = rd.from_arrow(points_table)
+    assert eng.extent(ds, z=4).count() > 0
+    assert eng.transitions(ds, z=4, key_col="user_id", order_cols=("ts", "event_id")).count() > 0
+    pairs = eng.radius_join(ds, 4.0, "event_id").to_pandas()
+    assert set(["a", "b", "dist2"]) <= set(pairs.columns) and len(pairs) > 0
+
+    from routers_ray.pipelines.queries import _heavy_items_of
+
+    hh = eng.heavy_hitters(ds, _heavy_items_of, 0.02).to_pandas()
+    assert list(hh.columns) == ["item", "n"] and len(hh) > 0
