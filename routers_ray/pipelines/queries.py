@@ -720,6 +720,30 @@ def od_first_last(uid: np.ndarray, eid: np.ndarray, ts: np.ndarray):
     return g[starts], g[ends]
 
 
+def _event_tracks(sf_dir: str):
+    """Per-user ordered tracks as packed float64 blobs keyed by the first
+    point's anchor cell — one groupby builds each track ONCE; shared by
+    the Hausdorff join and the track-clustering query."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def _track(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        lon, lat = event_lonlat(eid[order])
+        return pa.table(
+            {
+                "user_id": g["user_id"].slice(0, 1).combine_chunks(),
+                "cell": pa.array([_anchor_cell(lon[0], lat[0])], pa.int64()),
+                "pts": pa.array([np.concatenate([lon, lat]).tobytes()], pa.binary()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(_track, batch_format="pyarrow")
+
+
 def q_hausdorff_pairs(sf_dir: str):
     """Symmetric Hausdorff distance between user-track pairs sharing an
     anchor cell (track-similarity / geofence-family join,
@@ -740,24 +764,7 @@ def q_hausdorff_pairs(sf_dir: str):
     replication for cross-cell pairs, or an LSH prefilter on track
     sketches); the fixed 60° grid here matches the synthetic corpus's
     density, not a scale recommendation."""
-    import ray.data as rd
-
-    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
-
-    def _track(g: pa.Table) -> pa.Table:
-        eid = g["event_id"].to_numpy(zero_copy_only=False)
-        ts = g["ts"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        lon, lat = event_lonlat(eid[order])
-        return pa.table(
-            {
-                "user_id": g["user_id"].slice(0, 1).combine_chunks(),
-                "cell": pa.array([_anchor_cell(lon[0], lat[0])], pa.int64()),
-                "pts": pa.array([np.concatenate([lon, lat]).tobytes()], pa.binary()),
-            }
-        )
-
-    tracks = ds.groupby("user_id").map_groups(_track, batch_format="pyarrow")
+    tracks = _event_tracks(sf_dir)
 
     def _pairs(g: pa.Table) -> pa.Table:
         uid = np.asarray(g["user_id"], dtype=np.int64)
@@ -820,6 +827,113 @@ def sql_hausdorff_pairs() -> str:
     )
     SELECT ua, ub, floor(MAX(md)*1000 + 0.5)/1000 AS hd_m
     FROM dmin GROUP BY ua, ub
+    """
+
+
+CLUSTER_HD_M = 3_500_000.0  # track-clustering edge threshold (on r3(hd))
+
+
+def q_track_clusters(sf_dir: str):
+    """Trajectory clustering: tracks whose symmetric Hausdorff distance is
+    ≤ 3,500 km form edges; connected components over those edges are the
+    clusters (single-link track clustering — the trajectory analogue of
+    the cell DBSCAN). Edges exist only WITHIN an anchor cell by
+    construction, so the component computation is a per-cell union-find
+    inside the same group that prices the pairs — no global graph pass.
+    Emits (user_id, cluster_id = min member, cluster_size); singletons
+    included. Threshold compares the r3-rounded distance so the edge
+    predicate is bit-identical to the SQL's."""
+    tracks = _event_tracks(sf_dir)
+
+    def _clusters(g: pa.Table) -> pa.Table:
+        uid = np.asarray(g["user_id"], dtype=np.int64)
+        blobs = g["pts"].to_pylist()
+        order = np.argsort(uid, kind="stable")
+        uid = uid[order]
+        pts = []
+        for i in order.tolist():
+            v = np.frombuffer(blobs[i], dtype=np.float64)
+            pts.append((v[: v.size // 2], v[v.size // 2 :]))
+        n = uid.size
+        parent = list(range(n))
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for i in range(n):
+            lon_a, lat_a = pts[i]
+            for j in range(i + 1, n):
+                lon_b, lat_b = pts[j]
+                h = hausdorff_m(lon_a, lat_a, lon_b, lat_b)
+                if float(r3(np.asarray([h]))[0]) <= CLUSTER_HD_M:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        roots = np.asarray([find(i) for i in range(n)])
+        cluster_id = uid[roots]  # uid ascending → root idx = min member
+        _, inv, counts = np.unique(roots, return_inverse=True, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "cluster_id": pa.array(cluster_id, pa.int64()),
+                "cluster_size": pa.array(counts[inv].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return tracks.groupby("cell").map_groups(_clusters, batch_format="pyarrow")
+
+
+def sql_track_clusters() -> str:
+    hav = SQL_HAV("pa.lon", "pa.lat", "pb.lon", "pb.lat")
+    c = HAUS_CELL_DEG
+    return f"""
+    WITH RECURSIVE pts AS ({SQL_EVENT_PTS}),
+    rk AS (
+      SELECT user_id, lon, lat,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM pts
+    ),
+    anchor AS (
+      SELECT user_id,
+             CAST(floor((lon + 180.0)/{c}) AS BIGINT)*100
+             + CAST(floor((lat + 85.0)/{c}) AS BIGINT) AS cell
+      FROM rk WHERE rn = 1
+    ),
+    pr AS (
+      SELECT a.user_id AS ua, b.user_id AS ub
+      FROM anchor a JOIN anchor b ON a.cell = b.cell AND a.user_id < b.user_id
+    ),
+    dirs AS (
+      SELECT ua, ub, ua AS s, ub AS t FROM pr
+      UNION ALL
+      SELECT ua, ub, ub AS s, ua AS t FROM pr
+    ),
+    dmin AS (
+      SELECT d.ua, d.ub, pa.event_id AS src_ev, MIN({hav}) AS md
+      FROM dirs d
+      JOIN pts pa ON pa.user_id = d.s
+      JOIN pts pb ON pb.user_id = d.t
+      GROUP BY d.ua, d.ub, pa.event_id
+    ),
+    hd AS (
+      SELECT ua, ub FROM (
+        SELECT ua, ub, floor(MAX(md)*1000 + 0.5)/1000 AS hd_m
+        FROM dmin GROUP BY ua, ub
+      ) WHERE hd_m <= {CLUSTER_HD_M}
+    ),
+    e AS (SELECT ua AS u, ub AS v FROM hd UNION ALL SELECT ub, ua FROM hd),
+    reach(u, lab) AS (
+      SELECT user_id, user_id FROM anchor
+      UNION
+      SELECT e.u, r.lab FROM e JOIN reach r ON r.u = e.v
+    ),
+    comp AS (SELECT u AS user_id, MIN(lab) AS cluster_id FROM reach GROUP BY u),
+    sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY cluster_id)
+    SELECT c2.user_id, c2.cluster_id, s.sz AS cluster_size
+    FROM comp c2 JOIN sizes s USING (cluster_id)
     """
 
 
@@ -3629,6 +3743,7 @@ def registry() -> dict[str, tuple]:
         "coloc_pairs": (q_coloc_pairs, sql_coloc_pairs()),
         "coloc_pairs_m": (q_coloc_pairs_m, sql_coloc_pairs_m()),
         "hausdorff_pairs": (q_hausdorff_pairs, sql_hausdorff_pairs()),
+        "track_clusters": (q_track_clusters, sql_track_clusters()),
         "od_flows": (q_od_flows, sql_od_flows()),
         "track_crossings": (q_track_crossings, sql_track_crossings()),
         "dwell_polygon": (q_dwell_polygon, sql_dwell_polygon()),
