@@ -272,7 +272,8 @@ def run_bench() -> dict:
                  # round-4 second-pass families: raster, sketch, polygon PIP
                  "rasterize", "raster_runs", "hll_users", "pip_polygon",
                  # round-4 fifth-pass track analytics: pair join, flows, dwell
-                 "hausdorff_pairs", "cell_transitions", "dwell_polygon"):
+                 "hausdorff_pairs", "cell_transitions", "dwell_polygon",
+                 "heavy_items"):
         fn, _ = reg[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)

@@ -101,3 +101,36 @@ def test_cms_query_vs_exact(ray_session):
     ).df()
     for _, row in exact.iterrows():
         assert cms_query(dense, row["k"]) >= row["n"]
+
+
+def test_heavy_hitters_partitioning_invariant(ray_session):
+    """heavy_hitters' final table is exact and identical under different
+    block splits, even though the intermediate MG summaries differ."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from routers_ray.sketch import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    vals = rng.zipf(1.3, 20_000)
+    vals = vals[vals < 1_000_000].astype(np.int64)
+    tbl = pa.table({"v": pa.array(vals, pa.int64())})
+
+    def vf(b):
+        return np.asarray(b["v"], dtype=np.int64)
+
+    outs = []
+    for blocks in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        t = heavy_hitters(ds, vf, theta=0.01).to_pandas()
+        outs.append(t.sort_values("item").reset_index(drop=True))
+    import pandas as pd
+
+    assert len(outs[0]) > 0
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # exact ground truth
+    u, c = np.unique(vals, return_counts=True)
+    want = {int(k): int(n) for k, n in zip(u, c) if n >= 0.01 * vals.size}
+    got = dict(zip(outs[0]["item"].astype(int), outs[0]["n"].astype(int)))
+    assert got == want
