@@ -174,3 +174,10 @@ class Engine:
         from .spatialjoin import radius_self_join
 
         return radius_self_join(points_ds, r_deg, id_col, **kw)
+
+    def track_clusters(self, points_ds, key_col: str, max_hd_m: float, **kw):
+        """Single-link trajectory clustering via Hausdorff-threshold
+        edges and per-cell connected components."""
+        from .trackops import track_clusters
+
+        return track_clusters(points_ds, key_col=key_col, max_hd_m=max_hd_m, **kw)

@@ -222,3 +222,64 @@ def cell_transitions(points_ds, *, z: int, key_col: str, lon_col: str = "lon",
         lambda t: t.rename_columns(["src_x", "src_y", "dst_x", "dst_y", "n"]),
         batch_format="pyarrow",
     )
+
+
+def track_clusters(points_ds, *, key_col: str, max_hd_m: float,
+                   lon_col: str = "lon", lat_col: str = "lat",
+                   order_cols: tuple[str, ...] = ("ts",), cell_deg: float = 60.0):
+    """Single-link trajectory clustering: tracks within ``max_hd_m``
+    symmetric Hausdorff distance form edges; connected components are
+    clusters (see ``q_track_clusters``). Components never span anchor
+    cells by construction, so the union-find runs per cell."""
+    from .pipelines.queries import hausdorff_m, r3
+
+    def _track(g: pa.Table) -> pa.Table:
+        lon, lat, _ = _ordered(g, lon_col, lat_col, order_cols)
+        cx = int(np.floor((lon[0] + 180.0) / cell_deg))
+        cy = int(np.floor((lat[0] + 90.0) / cell_deg))
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1).combine_chunks(),
+                "cell": pa.array([cx * 1000 + cy], pa.int64()),
+                "pts": pa.array([np.concatenate([lon, lat]).tobytes()], pa.binary()),
+            }
+        )
+
+    tracks = points_ds.groupby(key_col).map_groups(_track, batch_format="pyarrow")
+
+    def _clusters(g: pa.Table) -> pa.Table:
+        kid = np.asarray(g[key_col])
+        blobs = g["pts"].to_pylist()
+        order = np.argsort(kid, kind="stable")
+        kid = kid[order]
+        pts = []
+        for i in order.tolist():
+            v = np.frombuffer(blobs[i], dtype=np.float64)
+            pts.append((v[: v.size // 2], v[v.size // 2:]))
+        n = kid.size
+        parent = list(range(n))
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                h = hausdorff_m(pts[i][0], pts[i][1], pts[j][0], pts[j][1])
+                if float(r3(np.asarray([h]))[0]) <= max_hd_m:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        roots = np.asarray([find(i) for i in range(n)])
+        _, inv, counts = np.unique(roots, return_inverse=True, return_counts=True)
+        return pa.table(
+            {
+                key_col: pa.array(kid),
+                "cluster_id": pa.array(kid[roots]),
+                "cluster_size": pa.array(counts[inv].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return tracks.groupby("cell").map_groups(_clusters, batch_format="pyarrow")

@@ -146,3 +146,43 @@ def test_engine_facade_geo_methods_run(ray_session, points_table):
 
     hh = eng.heavy_hitters(ds, _heavy_items_of, 0.02).to_pandas()
     assert list(hh.columns) == ["item", "n"] and len(hh) > 0
+
+
+def test_trackops_clusters_match_pairs(ray_session, points_table):
+    """Generic track_clusters is consistent with the generic Hausdorff
+    pairs: two tracks share a cluster iff they are connected through
+    edges with hd ≤ threshold."""
+    import ray.data as rd
+
+    from routers_ray.trackops import hausdorff_pairs, track_clusters
+
+    D = 3_500_000.0
+    ds = rd.from_arrow(points_table)
+    pairs = hausdorff_pairs(
+        ds, key_col="user_id", order_cols=("ts", "event_id")
+    ).to_pandas()
+    clusters = track_clusters(
+        ds, key_col="user_id", max_hd_m=D, order_cols=("ts", "event_id")
+    ).to_pandas()
+
+    # union-find over the edge list, driver-side
+    lab = {int(u): int(u) for u in clusters["user_id"]}
+
+    def find(a):
+        while lab[a] != a:
+            lab[a] = lab[lab[a]]
+            a = lab[a]
+        return a
+
+    for _, r in pairs[pairs["hd_m"] <= D].iterrows():
+        ra, rb = find(int(r["a"])), find(int(r["b"]))
+        if ra != rb:
+            lab[max(ra, rb)] = min(ra, rb)
+    want = {u: find(u) for u in lab}
+    got = dict(zip(clusters["user_id"].astype(int), clusters["cluster_id"].astype(int)))
+    assert got == want
+    sizes = clusters.groupby("cluster_id")["user_id"].count().to_dict()
+    assert all(
+        int(r["cluster_size"]) == sizes[int(r["cluster_id"])]
+        for _, r in clusters.iterrows()
+    )
