@@ -69,10 +69,12 @@ def hausdorff_pairs(points_ds, *, key_col: str, lon_col: str = "lon",
             for j in range(i + 1, kid.size):
                 ka.append(kid[i]), kb.append(kid[j])
                 hd.append(hausdorff_m(pts[i][0], pts[i][1], pts[j][0], pts[j][1]))
+        # typed from the key dtype so single-track groups (zero pairs)
+        # keep the schema instead of emitting null columns
         return pa.table(
             {
-                "a": pa.array(ka),
-                "b": pa.array(kb),
+                "a": pa.array(np.asarray(ka, dtype=kid.dtype)),
+                "b": pa.array(np.asarray(kb, dtype=kid.dtype)),
                 "hd_m": pa.array(r3(np.asarray(hd, dtype=np.float64)), pa.float64()),
             }
         )
