@@ -65,6 +65,23 @@ def append_manifest(out_dir: str, rows: list[dict]) -> None:
     os.replace(tmp, manifest_path(out_dir))
 
 
+# lineage-row column types, keyed by name so adding/reordering a metric
+# can never silently mispair a column with another column's Arrow type
+_MANIFEST_TYPES = {
+    "partition_id": pa.string(),
+    "cell": pa.int64(),
+    "salt": pa.int32(),
+    "rows_in": pa.int64(),
+    "rows_out": pa.int64(),
+    "max_ts": pa.int64(),
+    "t_ms": pa.float64(),
+    "revision_epoch": pa.int64(),
+    "net_cache_hits": pa.int64(),
+    "net_cache_misses": pa.int64(),
+    "lean_bound_bytes": pa.int64(),
+}
+
+
 def partition_manifest_rows(out_dir: str) -> list[dict]:
     """Lineage rows from the per-partition ``_manifest.json`` sidecars —
     written INSIDE each partition dir before its atomic rename, so a run
@@ -74,11 +91,19 @@ def partition_manifest_rows(out_dir: str) -> list[dict]:
 
     rows = []
     for p in glob.glob(os.path.join(out_dir, "parts", "*", "_manifest.json")):
+        d = os.path.basename(os.path.dirname(p))
+        if d.endswith(".tmp"):
+            # a kill between the sidecar dump and the dir rename leaves the
+            # row inside a .tmp dir that read_matched() ignores — counting
+            # it as complete would silently drop the partition's data
+            continue
         try:
             with open(p) as f:
-                rows.append(json.load(f))
+                row = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue  # unreadable sidecar → treat the partition as not done
+        if row.get("partition_id") == d:
+            rows.append(row)
     return rows
 
 
@@ -209,17 +234,7 @@ def run_checkpointed(
 
             shutil.rmtree(pdir)
         os.replace(tmp, pdir)
-        return pa.table(
-            {
-                k: pa.array([v], t)
-                for (k, v), t in zip(
-                    row.items(),
-                    [pa.string(), pa.int64(), pa.int32(), pa.int64(), pa.int64(),
-                     pa.int64(), pa.float64(), pa.int64(), pa.int64(), pa.int64(),
-                     pa.int64()],
-                )
-            }
-        )
+        return pa.table({k: pa.array([row[k]], t) for k, t in _MANIFEST_TYPES.items()})
 
     result = todo.groupby(["anchor_cell", "salt"]).map_groups(
         _write_partition, batch_format="pyarrow"

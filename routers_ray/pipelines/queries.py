@@ -691,6 +691,12 @@ def sql_coloc_pairs_m() -> str:
 
 HAUS_CELL_DEG = 60.0  # anchor-cell pairing grid for the track-pair join
 
+# the decimal x*100+y packing (kept because the SQL oracles spell it out
+# textually) requires y = floor(170/deg) < 100 — refuse silent aliasing
+# if someone retunes the constant below ~1.8 deg
+if 170.0 / HAUS_CELL_DEG >= 100.0:
+    raise ValueError("HAUS_CELL_DEG too fine for the x*100+y cell packing")
+
 
 def _anchor_cell(lon0: float, lat0: float) -> int:
     """Coarse pairing cell of a track's first point — packed x*100+y
@@ -713,6 +719,9 @@ def od_first_last(uid: np.ndarray, eid: np.ndarray, ts: np.ndarray):
     """Per-user first/last row indices by ascending ``(ts, eid)`` within an
     arbitrary batch — the associative partial behind :func:`q_od_flows`
     (any batch split merges to the same global first/last)."""
+    if uid.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
     order = np.lexsort((eid, ts))  # ascending (ts, eid)
     g = order[np.argsort(uid[order], kind="stable")]  # group by uid, keep order
     starts = np.flatnonzero(np.r_[True, uid[g][1:] != uid[g][:-1]])
@@ -866,12 +875,13 @@ def q_track_clusters(sf_dir: str):
         for i in range(n):
             lon_a, lat_a = pts[i]
             for j in range(i + 1, n):
+                ra, rb = find(i), find(j)
+                if ra == rb:
+                    continue  # already connected — the edge is redundant
                 lon_b, lat_b = pts[j]
                 h = hausdorff_m(lon_a, lat_a, lon_b, lat_b)
                 if float(r3(np.asarray([h]))[0]) <= CLUSTER_HD_M:
-                    ra, rb = find(i), find(j)
-                    if ra != rb:
-                        parent[max(ra, rb)] = min(ra, rb)
+                    parent[max(ra, rb)] = min(ra, rb)
         roots = np.asarray([find(i) for i in range(n)])
         cluster_id = uid[roots]  # uid ascending → root idx = min member
         _, inv, counts = np.unique(roots, return_inverse=True, return_counts=True)
@@ -1541,6 +1551,10 @@ def q_extent_cells(sf_dir: str):
 
     def _boxes(b: pa.Table) -> pa.Table:
         lon, lat = event_lonlat(np.asarray(b["event_id"]))
+        if lon.size == 0:
+            e64, ef = pa.array([], pa.int64()), pa.array([], pa.float64())
+            return pa.table({"x": e64, "y": e64, "min_lon": ef, "max_lon": ef,
+                             "min_lat": ef, "max_lat": ef, "n": e64})
         x, y = _slippy_xy(lon, lat, Z_EXTENT)
         key = (x.astype(np.int64) << np.int64(32)) | y.astype(np.int64)
         order = np.argsort(key, kind="stable")

@@ -33,6 +33,41 @@ def _ts_us(col) -> np.ndarray:
     return v.astype(np.int64)
 
 
+def _track_blobs(points_ds, key_col, lon_col, lat_col, order_cols, cell_deg):
+    """One row per track: (key, anchor cell, packed float64 blob). The
+    anchor packs (cx << 32) | cy — collision-free at ANY cell_deg (the
+    earlier decimal packing aliased cells once 180/cell_deg ≥ 1000)."""
+
+    def _track(g: pa.Table) -> pa.Table:
+        lon, lat, _ = _ordered(g, lon_col, lat_col, order_cols)
+        cx = np.int64(np.floor((lon[0] + 180.0) / cell_deg))
+        cy = np.int64(np.floor((lat[0] + 90.0) / cell_deg))
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1).combine_chunks(),
+                "cell": pa.array([int((cx << np.int64(32)) | cy)], pa.int64()),
+                "pts": pa.array([np.concatenate([lon, lat]).tobytes()], pa.binary()),
+            }
+        )
+
+    return points_ds.groupby(key_col).map_groups(_track, batch_format="pyarrow")
+
+
+def _sorted_tracks(g: pa.Table, key_col: str):
+    """Group rows → (key array sorted ascending, [(lon, lat)] per track,
+    the key's Arrow type for schema-stable empty outputs)."""
+    kid = np.asarray(g[key_col])
+    blobs = g["pts"].to_pylist()
+    order = np.argsort(kid, kind="stable")
+    kid = kid[order]
+    pts = []
+    for i in order.tolist():
+        v = np.frombuffer(blobs[i], dtype=np.float64)
+        pts.append((v[: v.size // 2], v[v.size // 2:]))
+    kt = g[key_col].type if hasattr(g[key_col], "type") else g[key_col].chunk(0).type
+    return kid, pts, kt
+
+
 def hausdorff_pairs(points_ds, *, key_col: str, lon_col: str = "lon",
                     lat_col: str = "lat", order_cols: tuple[str, ...] = ("ts",),
                     cell_deg: float = 60.0):
@@ -41,40 +76,21 @@ def hausdorff_pairs(points_ds, *, key_col: str, lon_col: str = "lon",
     shape and the quadratic-per-cell partitioning caveat)."""
     from .pipelines.queries import hausdorff_m, r3
 
-    def _track(g: pa.Table) -> pa.Table:
-        lon, lat, _ = _ordered(g, lon_col, lat_col, order_cols)
-        cx = int(np.floor((lon[0] + 180.0) / cell_deg))
-        cy = int(np.floor((lat[0] + 90.0) / cell_deg))
-        return pa.table(
-            {
-                key_col: g[key_col].slice(0, 1).combine_chunks(),
-                "cell": pa.array([cx * 1000 + cy], pa.int64()),
-                "pts": pa.array([np.concatenate([lon, lat]).tobytes()], pa.binary()),
-            }
-        )
-
-    tracks = points_ds.groupby(key_col).map_groups(_track, batch_format="pyarrow")
+    tracks = _track_blobs(points_ds, key_col, lon_col, lat_col, order_cols, cell_deg)
 
     def _pairs(g: pa.Table) -> pa.Table:
-        kid = np.asarray(g[key_col])
-        blobs = g["pts"].to_pylist()
-        order = np.argsort(kid, kind="stable")
-        kid = kid[order]
-        pts = []
-        for i in order.tolist():
-            v = np.frombuffer(blobs[i], dtype=np.float64)
-            pts.append((v[: v.size // 2], v[v.size // 2:]))
+        kid, pts, kt = _sorted_tracks(g, key_col)
         ka, kb, hd = [], [], []
         for i in range(kid.size):
             for j in range(i + 1, kid.size):
                 ka.append(kid[i]), kb.append(kid[j])
                 hd.append(hausdorff_m(pts[i][0], pts[i][1], pts[j][0], pts[j][1]))
-        # typed from the key dtype so single-track groups (zero pairs)
-        # keep the schema instead of emitting null columns
+        # explicit Arrow type so single-track groups (zero pairs) keep the
+        # schema for ANY key type (numeric or string) instead of null cols
         return pa.table(
             {
-                "a": pa.array(np.asarray(ka, dtype=kid.dtype)),
-                "b": pa.array(np.asarray(kb, dtype=kid.dtype)),
+                "a": pa.array(ka, type=kt),
+                "b": pa.array(kb, type=kt),
                 "hd_m": pa.array(r3(np.asarray(hd, dtype=np.float64)), pa.float64()),
             }
         )
@@ -152,6 +168,10 @@ def extent_cells(points_ds, *, z: int, lon_col: str = "lon", lat_col: str = "lat
     def _boxes(b: pa.Table) -> pa.Table:
         lon = b[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
         lat = b[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if lon.size == 0:
+            e64, ef = pa.array([], pa.int64()), pa.array([], pa.float64())
+            return pa.table({"x": e64, "y": e64, "min_lon": ef, "max_lon": ef,
+                             "min_lat": ef, "max_lat": ef, "n": e64})
         x, y = _slippy_xy(lon, lat, z)
         key = (x.astype(np.int64) << np.int64(32)) | y.astype(np.int64)
         order = np.argsort(key, kind="stable")
@@ -235,29 +255,10 @@ def track_clusters(points_ds, *, key_col: str, max_hd_m: float,
     cells by construction, so the union-find runs per cell."""
     from .pipelines.queries import hausdorff_m, r3
 
-    def _track(g: pa.Table) -> pa.Table:
-        lon, lat, _ = _ordered(g, lon_col, lat_col, order_cols)
-        cx = int(np.floor((lon[0] + 180.0) / cell_deg))
-        cy = int(np.floor((lat[0] + 90.0) / cell_deg))
-        return pa.table(
-            {
-                key_col: g[key_col].slice(0, 1).combine_chunks(),
-                "cell": pa.array([cx * 1000 + cy], pa.int64()),
-                "pts": pa.array([np.concatenate([lon, lat]).tobytes()], pa.binary()),
-            }
-        )
-
-    tracks = points_ds.groupby(key_col).map_groups(_track, batch_format="pyarrow")
+    tracks = _track_blobs(points_ds, key_col, lon_col, lat_col, order_cols, cell_deg)
 
     def _clusters(g: pa.Table) -> pa.Table:
-        kid = np.asarray(g[key_col])
-        blobs = g["pts"].to_pylist()
-        order = np.argsort(kid, kind="stable")
-        kid = kid[order]
-        pts = []
-        for i in order.tolist():
-            v = np.frombuffer(blobs[i], dtype=np.float64)
-            pts.append((v[: v.size // 2], v[v.size // 2:]))
+        kid, pts, _ = _sorted_tracks(g, key_col)
         n = kid.size
         parent = list(range(n))
 
@@ -269,11 +270,12 @@ def track_clusters(points_ds, *, key_col: str, max_hd_m: float,
 
         for i in range(n):
             for j in range(i + 1, n):
+                ra, rb = find(i), find(j)
+                if ra == rb:
+                    continue  # already connected — skip the O(|A||B|) kernel
                 h = hausdorff_m(pts[i][0], pts[i][1], pts[j][0], pts[j][1])
                 if float(r3(np.asarray([h]))[0]) <= max_hd_m:
-                    ra, rb = find(i), find(j)
-                    if ra != rb:
-                        parent[max(ra, rb)] = min(ra, rb)
+                    parent[max(ra, rb)] = min(ra, rb)
         roots = np.asarray([find(i) for i in range(n)])
         _, inv, counts = np.unique(roots, return_inverse=True, return_counts=True)
         return pa.table(

@@ -369,3 +369,32 @@ def test_killed_run_resumes_from_sidecars(world, tmp_path):
         before[cols].sort_values(cols).reset_index(drop=True),
         after[cols].sort_values(cols).reset_index(drop=True),
     )
+
+
+def test_tmp_partition_with_sidecar_is_recomputed(world, tmp_path):
+    """A kill between the sidecar dump and the dir rename leaves a .tmp
+    dir containing _manifest.json; that partition must NOT count as
+    complete (read_matched ignores .tmp dirs — counting it would lose
+    its rows permanently)."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "out_tmpwin")
+    _run(world, out)
+    man = read_manifest(out)
+    victim = man[-1]["partition_id"]
+    pdir = os.path.join(out, "parts", victim)
+    shutil.move(pdir, pdir + ".tmp")  # un-rename: the kill window state
+    with open(manifest_path(out), "w") as f:
+        for r in man[:-1]:
+            f.write(json.dumps(r) + "\n")
+
+    stats = _run(world, out)
+    assert stats["computed"] == 1 and stats["skipped"] == len(man) - 1
+    # the partition is back, with its rows present in the merged output
+    assert os.path.isdir(pdir)
+    got = read_matched(out).to_pandas()
+    assert {r["partition_id"] for r in read_manifest(out)} == {
+        r["partition_id"] for r in man
+    }
+    assert len(got) > 0
