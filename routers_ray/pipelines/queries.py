@@ -1468,6 +1468,56 @@ def sql_pip_polygon(sf_dir: str = "/root/testdata/sf0.001") -> str:
     """
 
 
+def extent_boxes_of(lon: np.ndarray, lat: np.ndarray, z: int) -> pa.Table:
+    """Per-batch partial extent boxes at zoom z (shared by the registry
+    query and the generic trackops stage)."""
+    if lon.size == 0:
+        e64, ef = pa.array([], pa.int64()), pa.array([], pa.float64())
+        return pa.table({"x": e64, "y": e64, "min_lon": ef, "max_lon": ef,
+                         "min_lat": ef, "max_lat": ef, "n": e64})
+    x, y = _slippy_xy(lon, lat, z)
+    key = (x.astype(np.int64) << np.int64(32)) | y.astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    k = key[order]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    ends = np.r_[starts[1:], k.size]
+    lo, la = lon[order], lat[order]
+    return pa.table(
+        {
+            "x": pa.array(k[starts] >> np.int64(32), pa.int64()),
+            "y": pa.array(k[starts] & np.int64(0xFFFFFFFF), pa.int64()),
+            "min_lon": pa.array(np.minimum.reduceat(lo, starts), pa.float64()),
+            "max_lon": pa.array(np.maximum.reduceat(lo, starts), pa.float64()),
+            "min_lat": pa.array(np.minimum.reduceat(la, starts), pa.float64()),
+            "max_lat": pa.array(np.maximum.reduceat(la, starts), pa.float64()),
+            "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def transition_partials_of(lon: np.ndarray, lat: np.ndarray, z: int) -> pa.Table:
+    """Ordered track points → partial (src, dst) hop counts at zoom z,
+    self-loops excluded (shared by the registry query and trackops)."""
+    x, y = _slippy_xy(lon, lat, z)
+    cell = (x << np.int64(32)) | y
+    src, dst = cell[:-1], cell[1:]
+    keep = src != dst
+    pairs = np.stack([src[keep], dst[keep]], axis=1)
+    if pairs.size == 0:
+        e = pa.array([], pa.int64())
+        return pa.table({"src_x": e, "src_y": e, "dst_x": e, "dst_y": e, "n": e})
+    uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+    return pa.table(
+        {
+            "src_x": pa.array(uniq[:, 0] >> np.int64(32), pa.int64()),
+            "src_y": pa.array(uniq[:, 0] & np.int64(0xFFFFFFFF), pa.int64()),
+            "dst_x": pa.array(uniq[:, 1] >> np.int64(32), pa.int64()),
+            "dst_y": pa.array(uniq[:, 1] & np.int64(0xFFFFFFFF), pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def q_cell_transitions(sf_dir: str):
     """Cell-transition (flow-map) matrix: consecutive-hop counts between
     z4 tiles over each user's ordered track — od_flows' endpoint view
@@ -1484,29 +1534,7 @@ def q_cell_transitions(sf_dir: str):
         ts = g["ts"].to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, ts))
         lon, lat = event_lonlat(eid[order])
-        x, y = _slippy_xy(lon, lat, Z_EXTENT)
-        cell = (x << np.int64(32)) | y
-        src, dst = cell[:-1], cell[1:]
-        keep = src != dst
-        pairs = np.stack([src[keep], dst[keep]], axis=1)
-        if pairs.size == 0:
-            return pa.table(
-                {
-                    "src_x": pa.array([], pa.int64()), "src_y": pa.array([], pa.int64()),
-                    "dst_x": pa.array([], pa.int64()), "dst_y": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
-        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
-        return pa.table(
-            {
-                "src_x": pa.array(uniq[:, 0] >> np.int64(32), pa.int64()),
-                "src_y": pa.array(uniq[:, 0] & np.int64(0xFFFFFFFF), pa.int64()),
-                "dst_x": pa.array(uniq[:, 1] >> np.int64(32), pa.int64()),
-                "dst_y": pa.array(uniq[:, 1] & np.int64(0xFFFFFFFF), pa.int64()),
-                "n": pa.array(counts.astype(np.int64), pa.int64()),
-            }
-        )
+        return transition_partials_of(lon, lat, Z_EXTENT)
 
     out = (
         ds.groupby("user_id")
@@ -1551,29 +1579,7 @@ def q_extent_cells(sf_dir: str):
 
     def _boxes(b: pa.Table) -> pa.Table:
         lon, lat = event_lonlat(np.asarray(b["event_id"]))
-        if lon.size == 0:
-            e64, ef = pa.array([], pa.int64()), pa.array([], pa.float64())
-            return pa.table({"x": e64, "y": e64, "min_lon": ef, "max_lon": ef,
-                             "min_lat": ef, "max_lat": ef, "n": e64})
-        x, y = _slippy_xy(lon, lat, Z_EXTENT)
-        key = (x.astype(np.int64) << np.int64(32)) | y.astype(np.int64)
-        order = np.argsort(key, kind="stable")
-        k = key[order]
-        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-        ends = np.r_[starts[1:], k.size]
-        uniq = k[starts]
-        lo, la = lon[order], lat[order]
-        return pa.table(
-            {
-                "x": pa.array(uniq >> np.int64(32), pa.int64()),
-                "y": pa.array(uniq & np.int64(0xFFFFFFFF), pa.int64()),
-                "min_lon": pa.array(np.minimum.reduceat(lo, starts), pa.float64()),
-                "max_lon": pa.array(np.maximum.reduceat(lo, starts), pa.float64()),
-                "min_lat": pa.array(np.minimum.reduceat(la, starts), pa.float64()),
-                "max_lat": pa.array(np.maximum.reduceat(la, starts), pa.float64()),
-                "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
-            }
-        )
+        return extent_boxes_of(lon, lat, Z_EXTENT)
 
     agg = (
         ds.map_batches(_boxes, batch_format="pyarrow")

@@ -163,33 +163,12 @@ def extent_cells(points_ds, *, z: int, lon_col: str = "lon", lat_col: str = "lat
     ``q_extent_cells``): per-batch partial boxes, Min/Max/Sum finish."""
     from ray.data.aggregate import Max, Min, Sum
 
-    from .pipelines.queries import _slippy_xy
+    from .pipelines.queries import extent_boxes_of
 
     def _boxes(b: pa.Table) -> pa.Table:
         lon = b[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
         lat = b[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        if lon.size == 0:
-            e64, ef = pa.array([], pa.int64()), pa.array([], pa.float64())
-            return pa.table({"x": e64, "y": e64, "min_lon": ef, "max_lon": ef,
-                             "min_lat": ef, "max_lat": ef, "n": e64})
-        x, y = _slippy_xy(lon, lat, z)
-        key = (x.astype(np.int64) << np.int64(32)) | y.astype(np.int64)
-        order = np.argsort(key, kind="stable")
-        k = key[order]
-        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-        ends = np.r_[starts[1:], k.size]
-        lo, la = lon[order], lat[order]
-        return pa.table(
-            {
-                "x": pa.array(k[starts] >> np.int64(32), pa.int64()),
-                "y": pa.array(k[starts] & np.int64(0xFFFFFFFF), pa.int64()),
-                "min_lon": pa.array(np.minimum.reduceat(lo, starts), pa.float64()),
-                "max_lon": pa.array(np.maximum.reduceat(lo, starts), pa.float64()),
-                "min_lat": pa.array(np.minimum.reduceat(la, starts), pa.float64()),
-                "max_lat": pa.array(np.maximum.reduceat(la, starts), pa.float64()),
-                "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
-            }
-        )
+        return extent_boxes_of(lon, lat, z)
 
     agg = (
         points_ds.map_batches(_boxes, batch_format="pyarrow")
@@ -206,33 +185,11 @@ def cell_transitions(points_ds, *, z: int, key_col: str, lon_col: str = "lon",
                      lat_col: str = "lat", order_cols: tuple[str, ...] = ("ts",)):
     """Consecutive-hop flow matrix between zoom-``z`` cells (see
     ``q_cell_transitions``; self-loops excluded)."""
-    from .pipelines.queries import _slippy_xy
+    from .pipelines.queries import transition_partials_of
 
     def _hops(g: pa.Table) -> pa.Table:
         lon, lat, _ = _ordered(g, lon_col, lat_col, order_cols)
-        x, y = _slippy_xy(lon, lat, z)
-        cell = (x << np.int64(32)) | y
-        src, dst = cell[:-1], cell[1:]
-        keep = src != dst
-        pairs = np.stack([src[keep], dst[keep]], axis=1)
-        if pairs.size == 0:
-            return pa.table(
-                {
-                    "src_x": pa.array([], pa.int64()), "src_y": pa.array([], pa.int64()),
-                    "dst_x": pa.array([], pa.int64()), "dst_y": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
-        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
-        return pa.table(
-            {
-                "src_x": pa.array(uniq[:, 0] >> np.int64(32), pa.int64()),
-                "src_y": pa.array(uniq[:, 0] & np.int64(0xFFFFFFFF), pa.int64()),
-                "dst_x": pa.array(uniq[:, 1] >> np.int64(32), pa.int64()),
-                "dst_y": pa.array(uniq[:, 1] & np.int64(0xFFFFFFFF), pa.int64()),
-                "n": pa.array(counts.astype(np.int64), pa.int64()),
-            }
-        )
+        return transition_partials_of(lon, lat, z)
 
     out = (
         points_ds.groupby(key_col)
