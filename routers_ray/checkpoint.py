@@ -73,6 +73,8 @@ _MANIFEST_TYPES = {
     "salt": pa.int32(),
     "rows_in": pa.int64(),
     "rows_out": pa.int64(),
+    "rows_ok": pa.int64(),
+    "docs_err": pa.int64(),
     "max_ts": pa.int64(),
     "t_ms": pa.float64(),
     "revision_epoch": pa.int64(),
@@ -212,6 +214,10 @@ def run_checkpointed(
             "salt": salt,
             "rows_in": len(group),
             "rows_out": len(matched),
+            # error taxonomy: ok span rows vs failed docs (a non-ok status
+            # is one row per doc) — lineage shows WHERE failures cluster
+            "rows_ok": int(pc.sum(pc.cast(pc.equal(matched["status"], "ok"), pa.int64())).as_py() or 0),
+            "docs_err": int(pc.sum(pc.cast(pc.invert(pc.equal(matched["status"], "ok")), pa.int64())).as_py() or 0),
             "max_ts": int(max_ts) if max_ts is not None else -1,
             "t_ms": (time.perf_counter() - t0) * 1000.0,
             "revision_epoch": revision_epoch,

@@ -69,6 +69,8 @@ def test_full_run_writes_manifest(world, tmp_path):
     for row in man:
         assert row["rows_out"] > 0 and row["t_ms"] > 0
         assert row["partition_id"].startswith("cell=")
+        # error taxonomy: ok rows + one row per failed doc == rows_out
+        assert row["rows_ok"] + row["docs_err"] == row["rows_out"]
     full = read_matched(out)
     assert len(full) > 0
 
