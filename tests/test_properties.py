@@ -429,3 +429,46 @@ def test_mg_merge_never_drops_a_true_heavy(seed, zipf_a, k, n_chunks):
     heavies = set(u[c > vals.size / (k + 1)].tolist())
     assert heavies <= set(mk.tolist())
     assert mk.size <= k
+
+
+@given(seed=st.integers(0, 10_000), n=st.integers(0, 500), n_splits=st.integers(1, 6))
+@settings(max_examples=80, deadline=None)
+def test_extent_boxes_partials_are_split_invariant(seed, n, n_splits):
+    """extent_boxes_of partials merged by (min, max, sum) across an
+    arbitrary batch split equal the single-pass global boxes (the
+    combiner law behind extent_cells), empty splits included."""
+    from routers_ray.pipelines.queries import Z_EXTENT, extent_boxes_of
+
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(-180.0, 179.9, n)
+    lat = rng.uniform(-85.0, 85.0, n)
+
+    def merge(tables):
+        import pandas as pd
+
+        df = pd.concat([t.to_pandas() for t in tables], ignore_index=True)
+        if df.empty:
+            return df
+        return (
+            df.groupby(["x", "y"], as_index=False)
+            .agg(min_lon=("min_lon", "min"), max_lon=("max_lon", "max"),
+                 min_lat=("min_lat", "min"), max_lat=("max_lat", "max"),
+                 n=("n", "sum"))
+            .sort_values(["x", "y"]).reset_index(drop=True)
+        )
+
+    want = merge([extent_boxes_of(lon, lat, Z_EXTENT)])
+    cuts = np.sort(rng.integers(0, n + 1, n_splits - 1)) if n_splits > 1 else np.array([], np.int64)
+    parts = [
+        extent_boxes_of(lon[lo:hi], lat[lo:hi], Z_EXTENT)
+        for lo, hi in zip(np.r_[0, cuts], np.r_[cuts, n])
+    ]
+    got = merge(parts)
+    import pandas as pd
+
+    if want.empty:
+        assert got.empty
+    else:
+        pd.testing.assert_frame_equal(
+            got[want.columns].reset_index(drop=True), want, check_dtype=False
+        )
