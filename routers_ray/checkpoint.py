@@ -326,6 +326,18 @@ def _state_shard_path(state_dir: str, shard: int) -> str:
     return os.path.join(state_dir, f"shard={int(shard):05d}.parquet")
 
 
+def _emit_shard_path(state_dir: str, shard: int) -> str:
+    return os.path.join(state_dir, f"emit-shard={int(shard):05d}.parquet")
+
+
+def _shard_epoch(path: str) -> int:
+    """Epoch stamped in a shard file's schema metadata (-1 if absent)."""
+    if not os.path.exists(path):
+        return -1
+    md = pq.read_schema(path).metadata or {}
+    return int(md.get(b"revision_epoch", b"-1"))
+
+
 def _load_state_shard(state_dir: str, shard: int) -> dict[str, list[int]]:
     p = _state_shard_path(state_dir, shard)
     if not os.path.exists(p):
@@ -334,9 +346,11 @@ def _load_state_shard(state_dir: str, shard: int) -> dict[str, list[int]]:
     return dict(zip(tbl["doc_id"].to_pylist(), tbl["ts"].to_pylist()))
 
 
-def _write_state_shard(state_dir: str, shard: int, state: dict[str, list[int]]) -> None:
+def _write_state_shard(
+    state_dir: str, shard: int, state: dict[str, list[int]], revision_epoch: int = -1
+) -> None:
     """Atomic per-shard state write (temp + rename, like the partition
-    outputs)."""
+    outputs), stamped with the writing epoch for retry idempotency."""
     docs = sorted(state)
     tbl = pa.table(
         {
@@ -344,9 +358,21 @@ def _write_state_shard(state_dir: str, shard: int, state: dict[str, list[int]]) 
             "ts": pa.array([state[d] for d in docs], pa.list_(pa.int64())),
         }
     )
+    tbl = tbl.replace_schema_metadata({b"revision_epoch": str(int(revision_epoch)).encode()})
     p = _state_shard_path(state_dir, shard)
     tmp = p + ".tmp"
     pq.write_table(tbl, tmp)
+    os.replace(tmp, p)
+
+
+def _write_emit_shard(state_dir: str, shard: int, out: pa.Table, revision_epoch: int) -> None:
+    """Persist a shard's emissions BEFORE the state rewrite so a task retry
+    after the state write lands can replay them instead of reconciling
+    every doc as 'skip' and silently emitting nothing."""
+    out = out.replace_schema_metadata({b"revision_epoch": str(int(revision_epoch)).encode()})
+    p = _emit_shard_path(state_dir, shard)
+    tmp = p + ".tmp"
+    pq.write_table(out, tmp)
     os.replace(tmp, p)
 
 
@@ -454,6 +480,7 @@ def incremental_match(
     revision_epoch: int,
     options: MatchOptions | None = None,
     n_state_shards: int = N_STATE_SHARDS,
+    lazy: bool = False,
 ) -> pa.Table:
     """Micro-batch incremental matching with SHARDED per-doc trip state.
 
@@ -474,7 +501,15 @@ def incremental_match(
     (re-match everything). Emitted rows carry ``revision =
     revision_epoch``; merge with :func:`merge_revisions`.
 
-    Accepts a pyarrow Table (micro-batch) or a ray.data.Dataset.
+    Shard tasks are retry-idempotent: each state shard (and a per-shard
+    emissions sidecar) is stamped with the writing epoch, so a Ray task
+    retry / lineage reconstruction after the durable state write replays
+    the persisted emissions instead of reconciling every doc as 'skip'.
+
+    Accepts a pyarrow Table (micro-batch) or a ray.data.Dataset. Returns
+    a Table bounded by the micro-batch size; pass ``lazy=True`` to get the
+    emissions back as a Dataset (no driver-side materialization) for
+    write-through at streaming scale.
     """
     import ray.data as rd
 
@@ -502,19 +537,40 @@ def incremental_match(
             "state_shard", pa.array(shard.astype(np.int32), pa.int32())
         )
 
+    epoch = int(revision_epoch)
+
     def _shard_group(group: pa.Table) -> pa.Table:
         shard = int(group["state_shard"][0].as_py())
+        state_p = _state_shard_path(state_dir, shard)
+        # Retry idempotency (object-store lineage reconstruction can rerun
+        # this task after its durable state write landed): if the state
+        # shard is already stamped with THIS epoch, the first attempt
+        # finished — replay its persisted emissions instead of reconciling
+        # every doc as 'skip' and silently dropping the shard's rows.
+        if _shard_epoch(state_p) == epoch:
+            emit_p = _emit_shard_path(state_dir, shard)
+            if _shard_epoch(emit_p) == epoch:
+                return pq.read_table(emit_p).replace_schema_metadata(None)
+            return _emit_schema().empty_table()
         state = _load_state_shard(state_dir, shard)
         st = get_store(store_path)
         out = _match_shard_docs(
-            group, st, MatchOptions(**opts_dict), state, revision_epoch, window
+            group, st, MatchOptions(**opts_dict), state, epoch, window
         )
-        _write_state_shard(state_dir, shard, state)
+        # emissions first, state last: a crash in between leaves the state
+        # un-stamped, so the retry recomputes (deterministically) and
+        # overwrites; once the state stamp lands, replay is pure read.
+        _write_emit_shard(state_dir, shard, out, epoch)
+        _write_state_shard(state_dir, shard, state, epoch)
         return out
 
     res = ds.map_batches(_prep, batch_format="pyarrow").groupby("state_shard").map_groups(
         _shard_group, batch_format="pyarrow"
     )
+    if lazy:
+        # streaming-scale path: hand the emissions back as a Dataset so the
+        # caller can write-through / merge without a driver-side gather
+        return res
     tables = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         for b in res.iter_batches(batch_format="pyarrow")
@@ -525,30 +581,38 @@ def incremental_match(
     return pa.concat_tables(tables).combine_chunks()
 
 
-def merge_revisions(tbl) -> pa.Table:
+def merge_revisions(tbl):
     """Emission merge: per (doc_id, seq) keep the max-revision row
     (``event.rs:100-112``), as a distributed
     ``groupby([doc_id, seq]).map_groups(max revision)`` — SURVEY §2.7's
     shape — so the merge never gathers the emission table on the driver.
 
-    Accepts a pyarrow Table or a ray.data.Dataset; returns a Table (the
-    per-micro-batch contract) — pass a Dataset and large merges stay
-    distributed until the caller consumes them.
+    Accepts a pyarrow Table or a ray.data.Dataset; returns a **Dataset**
+    (the whole-log merge is the unbounded step at streaming scale —
+    consume with ``write_parquet`` / ``iter_batches`` / ``to_pandas``
+    as appropriate to the result size).
+
+    Tie-break: among rows sharing the max revision the winner is chosen
+    by a full-column descending lexsort — deterministic regardless of the
+    nondeterministic row order inside a Ray group. (Duplicate
+    (doc_id, seq, revision) emissions are a caller-contract violation;
+    this just pins the outcome when it happens.)
     """
+    import pyarrow.compute as pc
     import ray.data as rd
 
     ds = tbl if hasattr(tbl, "map_batches") else rd.from_arrow(tbl)
 
     def _newest(group: pa.Table) -> pa.Table:
         rev = group["revision"].to_numpy(zero_copy_only=False)
-        return group.slice(int(np.argmax(rev)), 1)
+        mx = rev.max()
+        n_max = int((rev == mx).sum())
+        if n_max == 1:
+            return group.slice(int(np.argmax(rev)), 1)
+        cand = group.filter(pa.array(rev == mx))
+        idx = pc.sort_indices(
+            cand, sort_keys=[(c, "descending") for c in cand.column_names]
+        )
+        return cand.take(idx[:1])
 
-    out = ds.groupby(["doc_id", "seq"]).map_groups(_newest, batch_format="pyarrow")
-    tables = [
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in out.iter_batches(batch_format="pyarrow")
-    ]
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
-        return _emit_schema().empty_table()
-    return pa.concat_tables(tables).combine_chunks()
+    return ds.groupby(["doc_id", "seq"]).map_groups(_newest, batch_format="pyarrow")

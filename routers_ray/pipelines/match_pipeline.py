@@ -88,6 +88,9 @@ def first_point_cells(batch: pa.Table, partition_zoom: int) -> pa.Table:
     spans = _spans_chunks(batch["spans"])
     n = len(batch)
     offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # flatten() rebases values to index 0; a sliced ListArray's offsets
+    # don't start at 0 — rebase so both share the same index base
+    offsets = offsets - offsets[0]
     flat = spans.flatten()
     kind = pc.struct_field(flat, "kind")
     text = pc.struct_field(flat, "text")

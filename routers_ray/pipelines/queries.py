@@ -1403,7 +1403,11 @@ def _pip_even_odd(lon: np.ndarray, lat: np.ndarray, verts: np.ndarray) -> np.nda
     x2s, y2s = np.roll(verts[:, 0], -1), np.roll(verts[:, 1], -1)
     for x1, y1, x2, y2 in zip(x1s, y1s, x2s, y2s):
         crosses = (y1 > lat) != (y2 > lat)
-        xs = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        # horizontal edges (y1 == y2) divide by zero but can never
+        # satisfy `crosses`; silence the spurious warning — the inf/nan
+        # never reaches the parity decision
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
         inside += (crosses & (lon < xs)).astype(np.int64)
     return (inside % 2) == 1
 
@@ -1837,9 +1841,20 @@ def q_top_customers(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
-    agg = partial.groupby("c_custkey").sum("revenue_c").to_pandas()
-    agg.columns = ["c_custkey", "revenue_c"]
-    top = agg.sort_values(["revenue_c", "c_custkey"], ascending=[False, True]).head(10)
+    agg = partial.groupby("c_custkey").sum("revenue_c")
+
+    # Distributed top-k finish: post-groupby blocks hold disjoint customers
+    # with final revenue, so per-block top-10 then a blocks×10-row driver
+    # merge is exact — no full-cardinality gather.
+    def _block_top(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["c_custkey", "revenue_c"])
+        idx = pc.sort_indices(
+            b, sort_keys=[("revenue_c", "descending"), ("c_custkey", "ascending")]
+        )[:10]
+        return b.take(idx)
+
+    small = agg.map_batches(_block_top, batch_format="pyarrow").to_pandas()
+    top = small.sort_values(["revenue_c", "c_custkey"], ascending=[False, True]).head(10)
     top["c_name"] = top["c_custkey"].map(name_of)
     return pa.Table.from_pandas(top[["c_custkey", "c_name", "revenue_c"]], preserve_index=False)
 
@@ -3719,9 +3734,20 @@ def q_top_tokens(sf_dir: str):
         )
 
     agg = ds.map_batches(_partial, batch_format="pyarrow").groupby("token").sum("n")
-    pdf = agg.to_pandas()
-    pdf.columns = ["token", "n"]
-    top = pdf.sort_values(["n", "token"], ascending=[False, True]).head(20)
+
+    # Distributed top-k finish: groupby output blocks hold DISJOINT tokens
+    # with their FINAL counts, so a per-block top-20 (same total order) can
+    # never drop a global top-20 token.  Only blocks×20 rows reach the
+    # driver — never the full vocabulary.
+    def _block_top(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["token", "n"])
+        idx = pc.sort_indices(
+            b, sort_keys=[("n", "descending"), ("token", "ascending")]
+        )[:20]
+        return b.take(idx)
+
+    small = agg.map_batches(_block_top, batch_format="pyarrow").to_pandas()
+    top = small.sort_values(["n", "token"], ascending=[False, True]).head(20)
     return pa.table(
         {"token": pa.array(top["token"].astype(str), pa.string()), "n": pa.array(top["n"].astype("int64"), pa.int64())}
     )
@@ -3742,16 +3768,46 @@ def sql_top_tokens() -> str:
 
 
 def registry() -> dict[str, tuple]:
-    """name → (ray_fn, oracle_sql | None)."""
+    """name → (ray_fn, oracle_sql | None).
+
+    ORDER MATTERS: the correctness driver verifies only the FIRST 50
+    entries.  Policy (round-5): (1) the flagship match family and any
+    query that has never had a driver row come first; (2) queries whose
+    last green row is oldest come next; (3) the tail holds the
+    most-recently-verified, lowest-risk scalar aggregations, rotated
+    back into the window on subsequent rounds so every query regains a
+    driver row within two rounds.
+    """
     return {
+        # --- flagship + never-driver-checked (r5 window priority 1) ---
+        # sql side of the match family is a LAZY callable
+        # (expected-parquet generation is paid only when an oracle
+        # consumer resolves it)
+        "match": (q_match, sql_match),
+        "match_tiles": (q_match_tiles, sql_match_tiles),
+        "match_capped": (q_match_capped, sql_match_capped),
+        "simplify_tracks": (q_simplify_tracks, sql_simplify_tracks),
+        "resample_tracks": (q_resample_tracks, sql_resample_tracks),
+        "speed_limits": (q_speed_limits, sql_speed_limits),
+        # --- green in r03 but outside the r04 window (priority 2) ---
+        "timezone": (q_timezone, sql_timezone()),
+        "sessionize": (q_sessionize, sql_sessionize()),
+        "tiles_dated": (q_tiles_dated, sql_tiles_dated()),
+        "transport_access": (q_transport_access, sql_transport_access()),
+        "access_windows": (q_access_windows, sql_access_windows),
+        "embed_dups": (q_embed_dups, sql_embed_dups()),
+        "embed_norms": (q_embed_norms, sql_embed_norms()),
+        "media_features": (q_media_features, sql_media_features()),
+        "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
+        "top_tokens": (q_top_tokens, sql_top_tokens()),
+        "value_percentiles": (q_value_percentiles, sql_value_percentiles()),
+        # --- r04-green core geo / raster / join / sketch families ---
         "cell_assign": (q_cell_assign, sql_cell_assign()),
         "tile_rollup": (q_tile_rollup, sql_tile_rollup()),
-        "tile_project": (q_tile_project, sql_tile_project()),
         "rasterize": (q_rasterize, sql_rasterize()),
         "raster_runs": (q_raster_runs, sql_raster_runs()),
         "raster_pyramid": (q_raster_pyramid, sql_raster_pyramid()),
         "raster_components": (q_raster_components, sql_raster_components()),
-        "haversine_track": (q_haversine_track, sql_haversine_track()),
         "nn_station": (q_nn_station, sql_nn_station()),
         "knn_station": (q_knn_station, sql_knn_station()),
         "pip_region": (q_pip_region, sql_pip_region()),
@@ -3770,49 +3826,34 @@ def registry() -> dict[str, tuple]:
         "extent_cells": (q_extent_cells, sql_extent_cells()),
         "cell_transitions": (q_cell_transitions, sql_cell_transitions()),
         "cluster_cells": (q_cluster_cells, sql_cluster_cells()),
-        "agg_pricing": (q_agg_pricing, sql_agg_pricing()),
         "top_customers": (q_top_customers, sql_top_customers()),
-        "events_window": (q_events_window, sql_events_window()),
-        "distinct_users": (q_distinct_users, sql_distinct_users()),
         "hll_users": (q_hll_users, sql_hll_users()),
         "cms_users": (q_cms_users, sql_cms_users()),
         "heavy_items": (q_heavy_items, sql_heavy_items()),
+        "minhash_pairs": (q_minhash_pairs, None),
+        "minhash_planted": (q_minhash_planted, sql_minhash_planted),
+        "ann_topk": (q_ann_topk, sql_ann_topk()),
+        "ann_lsh": (q_ann_lsh, None),
+        "ann_lsh_planted": (q_ann_lsh_planted, sql_ann_lsh_planted),
+        "ann_ivf_planted": (q_ann_ivf_planted, sql_ann_ivf_planted),
+        "embed_dups_lsh": (q_embed_dups_lsh, sql_embed_dups_lsh),
+        # --- tail (entries 51+): r04-green low-risk scalar queries,
+        # rotated back into the window next round ---
+        "tile_project": (q_tile_project, sql_tile_project()),
+        "haversine_track": (q_haversine_track, sql_haversine_track()),
+        "agg_pricing": (q_agg_pricing, sql_agg_pricing()),
+        "events_window": (q_events_window, sql_events_window()),
+        "distinct_users": (q_distinct_users, sql_distinct_users()),
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
         "token_stats": (q_token_stats, sql_token_stats()),
         "token_bpe": (q_token_bpe, sql_token_bpe()),
         "quality": (q_quality, sql_quality()),
         "lang_source_stats": (q_lang_source_stats, sql_lang_source_stats()),
         "fingerprint": (q_fingerprint, sql_fingerprint()),
-        "minhash_pairs": (q_minhash_pairs, None),
-        "minhash_planted": (q_minhash_planted, sql_minhash_planted),
         "simhash": (q_simhash, sql_simhash()),
         "langid": (q_langid, sql_langid()),
-        "ann_topk": (q_ann_topk, sql_ann_topk()),
-        "ann_lsh": (q_ann_lsh, None),
-        "ann_lsh_planted": (q_ann_lsh_planted, sql_ann_lsh_planted),
-        "ann_ivf_planted": (q_ann_ivf_planted, sql_ann_ivf_planted),
-        "embed_dups_lsh": (q_embed_dups_lsh, sql_embed_dups_lsh),
         "asof_orders": (q_asof_orders, sql_asof_orders()),
         "range_join": (q_range_join, sql_range_join()),
         "sample_stratified": (q_sample_stratified, sql_sample_stratified()),
         "group_topk": (q_group_topk, sql_group_topk()),
-        "value_percentiles": (q_value_percentiles, sql_value_percentiles()),
-        "embed_norms": (q_embed_norms, sql_embed_norms()),
-        "media_features": (q_media_features, sql_media_features()),
-        # sql side is a LAZY callable (expected-parquet generation is paid
-        # only when an oracle consumer resolves it)
-        "match": (q_match, sql_match),
-        "match_capped": (q_match_capped, sql_match_capped),
-        "simplify_tracks": (q_simplify_tracks, sql_simplify_tracks),
-        "resample_tracks": (q_resample_tracks, sql_resample_tracks),
-        "match_tiles": (q_match_tiles, sql_match_tiles),
-        "tiles_dated": (q_tiles_dated, sql_tiles_dated()),
-        "transport_access": (q_transport_access, sql_transport_access()),
-        "access_windows": (q_access_windows, sql_access_windows),
-        "speed_limits": (q_speed_limits, sql_speed_limits),
-        "timezone": (q_timezone, sql_timezone()),
-        "sessionize": (q_sessionize, sql_sessionize()),
-        "embed_dups": (q_embed_dups, sql_embed_dups()),
-        "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
-        "top_tokens": (q_top_tokens, sql_top_tokens()),
     }

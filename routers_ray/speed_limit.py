@@ -376,7 +376,10 @@ def relevant_limits(
         if e.directionality is not None and e.directionality != directionality:
             continue
         if e.lanes is not None:
-            if lane is None or not (0 <= lane < len(e.lanes)):
+            # lane is 1-based NonZeroU8 in the reference (collection.rs
+            # lane?.get() as index — slot 0 unreachable); lane < 1 means
+            # no lane context, so per-lane entries never apply
+            if lane is None or not (1 <= lane < len(e.lanes)):
                 continue
             limit = e.lanes[lane]
             if limit is not None:

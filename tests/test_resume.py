@@ -400,3 +400,67 @@ def test_tmp_partition_with_sidecar_is_recomputed(world, tmp_path):
         r["partition_id"] for r in man
     }
     assert len(got) > 0
+
+
+def test_shard_task_retry_is_idempotent(world, tmp_path):
+    """ADVICE r04: a shard task re-executed AFTER its durable state write
+    landed (Ray retry / lineage reconstruction) must re-emit the same rows,
+    not reconcile everything as 'skip' and silently drop the shard's
+    emissions. Replaying the same epoch is exactly that scenario."""
+    state_dir = str(tmp_path / "retry_state")
+    e1 = incremental_match(world["docs"], world["store"], state_dir, revision_epoch=1)
+    assert e1.num_rows > 0
+
+    # same epoch again == the retry: must replay identical emissions
+    e1_retry = incremental_match(world["docs"], world["store"], state_dir, revision_epoch=1)
+    cols = ["doc_id", "seq", "status", "edge_id", "dir", "action", "revision"]
+    a = e1.select(cols).to_pandas().sort_values(cols).reset_index(drop=True)
+    b = e1_retry.select(cols).to_pandas().sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+    # a genuinely NEW epoch with the same data still skips (the replay
+    # guard keys on epoch, not on input equality)
+    e2 = incremental_match(world["docs"], world["store"], state_dir, revision_epoch=2)
+    from routers_ray.checkpoint import CONTEXT_WINDOW
+    from routers_ray.spans import parse_trajectories
+
+    parsed = parse_trajectories(world["docs"])
+    npts = pa.compute.list_value_length(parsed["pts_ts"]).to_pylist()
+    short = {d for d, n in zip(parsed["doc_id"].to_pylist(), npts) if n <= CONTEXT_WINDOW * 3}
+    assert not (set(e2["doc_id"].to_pylist()) & short)
+
+
+def test_merge_revisions_tiebreak_deterministic(ray_session):
+    """Duplicate (doc_id, seq, revision) rows: the winner is pinned by a
+    full-column descending lexsort, independent of input row order."""
+    from routers_ray.checkpoint import _emit_schema
+
+    def _row(edge, action):
+        return {
+            "doc_id": "d",
+            "seq": 0,
+            "status": "ok",
+            "edge_id": edge,
+            "dir": 0,
+            "src": 1,
+            "dst": 2,
+            "snap_lon": 0.0,
+            "snap_lat": 0.0,
+            "cost": 5,
+            "cell": 9,
+            "action": action,
+            "revision": 7,
+        }
+
+    rows = [_row(10, "restart"), _row(99, "resume"), _row(50, "restart")]
+    t_fwd = pa.Table.from_pylist(rows, schema=_emit_schema())
+    t_rev = pa.Table.from_pylist(rows[::-1], schema=_emit_schema())
+    a = merge_revisions(t_fwd).to_pandas()
+    b = merge_revisions(t_rev).to_pandas()
+    assert len(a) == 1 and len(b) == 1
+    assert a.iloc[0].to_dict() == b.iloc[0].to_dict()
+    # descending lexsort on (doc_id, seq, status, edge_id, ...): all rows
+    # share doc/seq/status, so the max edge_id (99) wins
+    assert a.iloc[0]["edge_id"] == 99 and a.iloc[0]["action"] == "resume"
