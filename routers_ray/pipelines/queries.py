@@ -689,20 +689,29 @@ def sql_coloc_pairs_m() -> str:
     """
 
 
-HAUS_CELL_DEG = 60.0  # anchor-cell pairing grid for the track-pair join
-
-# the decimal x*100+y packing (kept because the SQL oracles spell it out
-# textually) requires y = floor(170/deg) < 100 — refuse silent aliasing
-# if someone retunes the constant below ~1.8 deg
-if 170.0 / HAUS_CELL_DEG >= 100.0:
-    raise ValueError("HAUS_CELL_DEG too fine for the x*100+y cell packing")
+HAUS_CELL_DEG = 60.0  # default anchor-cell pairing grid for the track-pair join
 
 
-def _anchor_cell(lon0: float, lat0: float) -> int:
+def _check_haus_grid(cell_deg: float) -> None:
+    # the decimal x*100+y packing (kept because the SQL oracles spell it
+    # out textually) requires y = floor(170/deg) < 100 — refuse silent
+    # aliasing if a caller tunes the grid below ~1.8 deg. Sizing rule
+    # (100-TB note): pick cell_deg so expected tracks-per-cell ≈
+    # sqrt(2·target_pairs_per_task); below the packing floor switch to
+    # the trackops facade's (cx<<32)|cy pack, which is deg-unbounded.
+    if 170.0 / cell_deg >= 100.0:
+        raise ValueError(f"cell_deg={cell_deg} too fine for the x*100+y cell packing")
+
+
+_check_haus_grid(HAUS_CELL_DEG)
+
+
+def _anchor_cell(lon0: float, lat0: float, cell_deg: float = HAUS_CELL_DEG) -> int:
     """Coarse pairing cell of a track's first point — packed x*100+y
-    (x ∈ [0,6), y ∈ [0,3) on the derived-coordinate domain)."""
-    x = int(np.floor((lon0 + 180.0) / HAUS_CELL_DEG))
-    y = int(np.floor((lat0 + 85.0) / HAUS_CELL_DEG))
+    (x ∈ [0,6), y ∈ [0,3) on the derived-coordinate domain at the 60°
+    default)."""
+    x = int(np.floor((lon0 + 180.0) / cell_deg))
+    y = int(np.floor((lat0 + 85.0) / cell_deg))
     return x * 100 + y
 
 
@@ -729,12 +738,13 @@ def od_first_last(uid: np.ndarray, eid: np.ndarray, ts: np.ndarray):
     return g[starts], g[ends]
 
 
-def _event_tracks(sf_dir: str):
+def _event_tracks(sf_dir: str, cell_deg: float = HAUS_CELL_DEG):
     """Per-user ordered tracks as packed float64 blobs keyed by the first
     point's anchor cell — one groupby builds each track ONCE; shared by
     the Hausdorff join and the track-clustering query."""
     import ray.data as rd
 
+    _check_haus_grid(cell_deg)
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
 
     def _track(g: pa.Table) -> pa.Table:
@@ -745,7 +755,7 @@ def _event_tracks(sf_dir: str):
         return pa.table(
             {
                 "user_id": g["user_id"].slice(0, 1).combine_chunks(),
-                "cell": pa.array([_anchor_cell(lon[0], lat[0])], pa.int64()),
+                "cell": pa.array([_anchor_cell(lon[0], lat[0], cell_deg)], pa.int64()),
                 "pts": pa.array([np.concatenate([lon, lat]).tobytes()], pa.binary()),
             }
         )
@@ -753,7 +763,8 @@ def _event_tracks(sf_dir: str):
     return ds.groupby("user_id").map_groups(_track, batch_format="pyarrow")
 
 
-def q_hausdorff_pairs(sf_dir: str):
+def q_hausdorff_pairs(sf_dir: str, *, cell_deg: float = HAUS_CELL_DEG,
+                      n_pair_buckets: int = 1):
     """Symmetric Hausdorff distance between user-track pairs sharing an
     anchor cell (track-similarity / geofence-family join,
     ``max(max_a min_b d, max_b min_a d)``).
@@ -768,12 +779,24 @@ def q_hausdorff_pairs(sf_dir: str):
     makes no float-symmetry assumption the SQL oracle doesn't.
 
     Partitioning assumption (100-TB note): pair count is quadratic in
-    tracks-per-cell BY SEMANTICS, so the anchor grid must be sized so a
-    cell's track count stays bounded (finer grid + the radius-join-style
-    replication for cross-cell pairs, or an LSH prefilter on track
-    sketches); the fixed 60° grid here matches the synthetic corpus's
-    density, not a scale recommendation."""
-    tracks = _event_tracks(sf_dir)
+    tracks-per-cell BY SEMANTICS. Two knobs bound it: ``cell_deg``
+    shrinks the SEMANTIC pair set (size so expected tracks-per-cell ≈
+    sqrt(2·target_pairs_per_task)); ``n_pair_buckets`` decomposes a
+    cell's fixed pair set into B·(B+1)/2 bounded bucket-pair tasks via
+    the blocked self-join in :func:`routers_ray.trackops
+    .hausdorff_pair_rows` (exact — parity-tested vs the single-group
+    path). Oversized groups are logged, never truncated. The 60° default
+    matches the synthetic corpus's density, not a scale recommendation."""
+    tracks = _event_tracks(sf_dir, cell_deg)
+
+    if int(n_pair_buckets) > 1:
+        from ..trackops import hausdorff_pair_rows
+
+        rows = hausdorff_pair_rows(tracks, "user_id", n_pair_buckets=n_pair_buckets)
+        return rows.map_batches(
+            lambda t: t.drop_columns(["cell"]).rename_columns(["ua", "ub", "hd_m"]),
+            batch_format="pyarrow",
+        )
 
     def _pairs(g: pa.Table) -> pa.Table:
         uid = np.asarray(g["user_id"], dtype=np.int64)
@@ -802,9 +825,10 @@ def q_hausdorff_pairs(sf_dir: str):
     return tracks.groupby("cell").map_groups(_pairs, batch_format="pyarrow")
 
 
-def sql_hausdorff_pairs() -> str:
+def sql_hausdorff_pairs(cell_deg: float = HAUS_CELL_DEG) -> str:
     hav = SQL_HAV("pa.lon", "pa.lat", "pb.lon", "pb.lat")
-    c = HAUS_CELL_DEG
+    _check_haus_grid(cell_deg)
+    c = cell_deg
     return f"""
     WITH pts AS ({SQL_EVENT_PTS}),
     rk AS (
@@ -842,7 +866,8 @@ def sql_hausdorff_pairs() -> str:
 CLUSTER_HD_M = 3_500_000.0  # track-clustering edge threshold (on r3(hd))
 
 
-def q_track_clusters(sf_dir: str):
+def q_track_clusters(sf_dir: str, *, cell_deg: float = HAUS_CELL_DEG,
+                     n_pair_buckets: int = 1):
     """Trajectory clustering: tracks whose symmetric Hausdorff distance is
     ≤ 3,500 km form edges; connected components over those edges are the
     clusters (single-link track clustering — the trajectory analogue of
@@ -851,8 +876,30 @@ def q_track_clusters(sf_dir: str):
     inside the same group that prices the pairs — no global graph pass.
     Emits (user_id, cluster_id = min member, cluster_size); singletons
     included. Threshold compares the r3-rounded distance so the edge
-    predicate is bit-identical to the SQL's."""
-    tracks = _event_tracks(sf_dir)
+    predicate is bit-identical to the SQL's.
+
+    ``n_pair_buckets > 1`` bounds the quadratic pair pricing with the
+    blocked decomposition of :func:`routers_ray.trackops
+    .hausdorff_pair_rows`, then runs the per-cell union-find over the
+    resulting EDGE list (+ roster self-loops so singletons survive) —
+    exact, parity-tested; see ``q_hausdorff_pairs`` for the sizing rule."""
+    tracks = _event_tracks(sf_dir, cell_deg)
+
+    if int(n_pair_buckets) > 1:
+        from ..trackops import components_from_edges, hausdorff_pair_rows
+
+        pairs = hausdorff_pair_rows(tracks, "user_id", n_pair_buckets=n_pair_buckets)
+
+        def _edges(t: pa.Table) -> pa.Table:
+            keep = t.filter(pc.less_equal(t["hd_m"], CLUSTER_HD_M))
+            return keep.select(["cell", "a", "b"])
+
+        def _roster(t: pa.Table) -> pa.Table:
+            return pa.table({"cell": t["cell"], "a": t["user_id"], "b": t["user_id"]})
+
+        edges = pairs.map_batches(_edges, batch_format="pyarrow")
+        roster = tracks.map_batches(_roster, batch_format="pyarrow")
+        return components_from_edges(edges.union(roster), key_col="user_id")
 
     def _clusters(g: pa.Table) -> pa.Table:
         uid = np.asarray(g["user_id"], dtype=np.int64)
@@ -896,9 +943,10 @@ def q_track_clusters(sf_dir: str):
     return tracks.groupby("cell").map_groups(_clusters, batch_format="pyarrow")
 
 
-def sql_track_clusters() -> str:
+def sql_track_clusters(cell_deg: float = HAUS_CELL_DEG) -> str:
     hav = SQL_HAV("pa.lon", "pa.lat", "pb.lon", "pb.lat")
-    c = HAUS_CELL_DEG
+    _check_haus_grid(cell_deg)
+    c = cell_deg
     return f"""
     WITH RECURSIVE pts AS ({SQL_EVENT_PTS}),
     rk AS (

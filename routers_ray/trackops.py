@@ -68,34 +68,161 @@ def _sorted_tracks(g: pa.Table, key_col: str):
     return kid, pts, kt
 
 
-def hausdorff_pairs(points_ds, *, key_col: str, lon_col: str = "lon",
-                    lat_col: str = "lat", order_cols: tuple[str, ...] = ("ts",),
-                    cell_deg: float = 60.0):
-    """Symmetric Hausdorff distance between track pairs sharing the
-    anchor cell of their first point (see ``q_hausdorff_pairs`` for the
-    shape and the quadratic-per-cell partitioning caveat)."""
+# Warn when a single pair group exceeds this many tracks — the pair count
+# is quadratic, so a group this size is ~8.4M haversine-matrix kernels.
+HAUS_GROUP_WARN = 4096
+
+
+def _log_pair_group(kind: str, n_tracks: int, n_buckets: int) -> None:
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s pair group holds %d tracks (~%d pairs — quadratic by semantics). "
+        "Sizing rule: pick cell_deg so expected tracks-per-cell ≈ "
+        "sqrt(2·target_pairs_per_task), and/or raise n_pair_buckets to "
+        "ceil(tracks_per_cell / target_tracks_per_task) (currently %d) so "
+        "each bucket-pair task stays bounded.",
+        kind, n_tracks, n_tracks * (n_tracks - 1) // 2, n_buckets,
+    )
+
+
+def _bucket_of(kid: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic track→bucket assignment for the blocked pair join
+    (splitmix64 of the key, fnv1a first for string keys)."""
+    from .functions import fnv1a_array, splitmix64
+
+    if kid.dtype.kind in "iu":
+        return (splitmix64(kid.astype(np.int64)) % np.uint64(n_buckets)).astype(np.int64)
+    return (
+        splitmix64(fnv1a_array([str(x) for x in kid.tolist()]))
+        % np.uint64(n_buckets)
+    ).astype(np.int64)
+
+
+def hausdorff_pair_rows(tracks, key_col: str, *, n_pair_buckets: int = 1):
+    """All within-cell track pairs with symmetric Hausdorff distance →
+    Dataset ``(cell, a, b, hd_m)`` (``a < b`` in key order, hd r3-rounded).
+
+    ``n_pair_buckets=1`` runs one task per anchor cell (quadratic in the
+    cell's track count). ``n_pair_buckets=B > 1`` decomposes each cell's
+    pair set into the B·(B+1)/2 bucket-pair tasks of a blocked self-join:
+    every track is replicated to the B groups ``(cell, min(b,k), max(b,k))``
+    for k in 0..B-1, a diagonal group (i==i) prices its within-bucket
+    pairs, an off-diagonal group (i<j) prices only cross-bucket pairs —
+    each pair is computed exactly once and no single Ray group exceeds
+    ~2·tracks_per_cell/B tracks. Total work is unchanged (the pair set is
+    quadratic BY SEMANTICS); what the decomposition buys at scale is
+    bounded task memory/runtime and parallelism across the quadratic.
+
+    Sizing rule (100-TB note): with C = expected tracks per anchor cell
+    and a per-task budget of P pairs, use n_pair_buckets ≈ C / sqrt(2P);
+    shrink cell_deg first — it reduces the SEMANTIC pair count, while
+    buckets only spread a fixed pair count across tasks. Oversized groups
+    are logged (HAUS_GROUP_WARN), never silently truncated — dropping
+    pairs would change results.
+    """
     from .pipelines.queries import hausdorff_m, r3
 
-    tracks = _track_blobs(points_ds, key_col, lon_col, lat_col, order_cols, cell_deg)
+    B = max(1, int(n_pair_buckets))
 
     def _pairs(g: pa.Table) -> pa.Table:
         kid, pts, kt = _sorted_tracks(g, key_col)
+        if kid.size > HAUS_GROUP_WARN:
+            _log_pair_group("hausdorff", int(kid.size), B)
+        if B > 1:
+            order = np.argsort(np.asarray(g[key_col]), kind="stable")
+            bk = np.asarray(g["bk"], dtype=np.int64)[order]
+            diag = bool(g["bi"][0].as_py() == g["bj"][0].as_py())
+        cell0 = int(g["cell"][0].as_py())
         ka, kb, hd = [], [], []
         for i in range(kid.size):
             for j in range(i + 1, kid.size):
+                if B > 1 and not diag and bk[i] == bk[j]:
+                    continue  # within-bucket pair — owned by the diagonal group
                 ka.append(kid[i]), kb.append(kid[j])
                 hd.append(hausdorff_m(pts[i][0], pts[i][1], pts[j][0], pts[j][1]))
         # explicit Arrow type so single-track groups (zero pairs) keep the
         # schema for ANY key type (numeric or string) instead of null cols
         return pa.table(
             {
+                "cell": pa.array([cell0] * len(ka), pa.int64()),
                 "a": pa.array(ka, type=kt),
                 "b": pa.array(kb, type=kt),
                 "hd_m": pa.array(r3(np.asarray(hd, dtype=np.float64)), pa.float64()),
             }
         )
 
-    return tracks.groupby("cell").map_groups(_pairs, batch_format="pyarrow")
+    if B == 1:
+        return tracks.groupby("cell").map_groups(_pairs, batch_format="pyarrow")
+
+    def _replicate(b: pa.Table) -> pa.Table:
+        kid = np.asarray(b[key_col])
+        bk = _bucket_of(kid, B)
+        n = len(b)
+        rep = np.repeat(np.arange(n, dtype=np.int64), B)
+        k = np.tile(np.arange(B, dtype=np.int64), n)
+        bkr = bk[rep]
+        out = b.take(pa.array(rep))
+        out = out.append_column("bk", pa.array(bkr, pa.int64()))
+        out = out.append_column("bi", pa.array(np.minimum(bkr, k), pa.int64()))
+        out = out.append_column("bj", pa.array(np.maximum(bkr, k), pa.int64()))
+        return out
+
+    return (
+        tracks.map_batches(_replicate, batch_format="pyarrow")
+        .groupby(["cell", "bi", "bj"])
+        .map_groups(_pairs, batch_format="pyarrow")
+    )
+
+
+def components_from_edges(edges_and_roster, key_col: str = "a"):
+    """Per-cell connected components over an edge list: input Dataset with
+    columns ``(cell, a, b)`` where a==b rows are roster self-loops (every
+    track appears once, so singletons survive) and a!=b rows are edges.
+    Returns ``(key, cluster_id = min member, cluster_size)`` — union-find
+    over EDGES, linear in edges+nodes, never quadratic in tracks."""
+
+    def _components(g: pa.Table) -> pa.Table:
+        a = np.asarray(g["a"])
+        b = np.asarray(g["b"])
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ia, ib = inv[: a.size], inv[a.size:]
+        parent = np.arange(nodes.size, dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(a.size):
+            ra, rb = find(int(ia[i])), find(int(ib[i]))
+            if ra != rb:
+                # nodes sorted ascending → lower index = lower key
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.asarray([find(i) for i in range(nodes.size)])
+        _, rinv, counts = np.unique(roots, return_inverse=True, return_counts=True)
+        kt = g["a"].type if hasattr(g["a"], "type") else g["a"].chunk(0).type
+        return pa.table(
+            {
+                key_col: pa.array(nodes.tolist(), type=kt),
+                "cluster_id": pa.array(nodes[roots].tolist(), type=kt),
+                "cluster_size": pa.array(counts[rinv].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return edges_and_roster.groupby("cell").map_groups(_components, batch_format="pyarrow")
+
+
+def hausdorff_pairs(points_ds, *, key_col: str, lon_col: str = "lon",
+                    lat_col: str = "lat", order_cols: tuple[str, ...] = ("ts",),
+                    cell_deg: float = 60.0, n_pair_buckets: int = 1):
+    """Symmetric Hausdorff distance between track pairs sharing the
+    anchor cell of their first point (see ``hausdorff_pair_rows`` for the
+    blocked decomposition and the quadratic-per-cell sizing rule)."""
+    tracks = _track_blobs(points_ds, key_col, lon_col, lat_col, order_cols, cell_deg)
+    rows = hausdorff_pair_rows(tracks, key_col, n_pair_buckets=n_pair_buckets)
+    return rows.drop_columns(["cell"])
 
 
 def track_crossings(points_ds, *, key_col: str, lon_col: str = "lon",
@@ -205,14 +332,35 @@ def cell_transitions(points_ds, *, z: int, key_col: str, lon_col: str = "lon",
 
 def track_clusters(points_ds, *, key_col: str, max_hd_m: float,
                    lon_col: str = "lon", lat_col: str = "lat",
-                   order_cols: tuple[str, ...] = ("ts",), cell_deg: float = 60.0):
+                   order_cols: tuple[str, ...] = ("ts",), cell_deg: float = 60.0,
+                   n_pair_buckets: int = 1):
     """Single-link trajectory clustering: tracks within ``max_hd_m``
     symmetric Hausdorff distance form edges; connected components are
     clusters (see ``q_track_clusters``). Components never span anchor
-    cells by construction, so the union-find runs per cell."""
+    cells by construction, so the union-find runs per cell.
+
+    With ``n_pair_buckets > 1`` the quadratic pair pricing is decomposed
+    into bounded bucket-pair tasks (``hausdorff_pair_rows``) and the
+    union-find runs over the resulting EDGE list per cell — linear in
+    edges+tracks, so no single Ray group is quadratic-unbounded."""
     from .pipelines.queries import hausdorff_m, r3
 
     tracks = _track_blobs(points_ds, key_col, lon_col, lat_col, order_cols, cell_deg)
+
+    if int(n_pair_buckets) > 1:
+        pairs = hausdorff_pair_rows(tracks, key_col, n_pair_buckets=n_pair_buckets)
+
+        def _edges(t: pa.Table) -> pa.Table:
+            keep = t.filter(pa.compute.less_equal(t["hd_m"], max_hd_m))
+            return keep.select(["cell", "a", "b"])
+
+        def _roster(t: pa.Table) -> pa.Table:
+            return pa.table({"cell": t["cell"], "a": t[key_col], "b": t[key_col]})
+
+        edges = pairs.map_batches(_edges, batch_format="pyarrow")
+        roster = tracks.map_batches(_roster, batch_format="pyarrow")
+        comp = components_from_edges(edges.union(roster), key_col=key_col)
+        return comp
 
     def _clusters(g: pa.Table) -> pa.Table:
         kid, pts, _ = _sorted_tracks(g, key_col)

@@ -186,3 +186,141 @@ def test_trackops_clusters_match_pairs(ray_session, points_table):
         int(r["cluster_size"]) == sizes[int(r["cluster_id"])]
         for _, r in clusters.iterrows()
     )
+
+
+def test_hausdorff_blocked_buckets_exact(ray_session, points_table):
+    """Verdict-r4 #4: the blocked bucket-pair decomposition (B× finer
+    PHYSICAL grouping via track replication) reproduces the single-group
+    60° result EXACTLY, and no bucket-pair group holds a cell's full
+    track set — the quadratic is spread across bounded tasks."""
+    import ray.data as rd
+
+    from routers_ray.trackops import _bucket_of, hausdorff_pairs
+
+    ds = rd.from_arrow(points_table)
+    base = (
+        hausdorff_pairs(ds, key_col="user_id", order_cols=("ts", "event_id"))
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert len(base) > 0
+    for B in (2, 3):
+        got = (
+            hausdorff_pairs(
+                ds, key_col="user_id", order_cols=("ts", "event_id"),
+                n_pair_buckets=B,
+            )
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, base, check_dtype=False)
+
+    # bounded-group evidence on a DENSE synthetic cell (the sf0.001 corpus
+    # has no cell with 10+ tracks): 24 two-point tracks sharing one 60°
+    # anchor cell; every (bi, bj) bucket-pair group holds c_i + c_j (or
+    # c_i on the diagonal) tracks — strictly fewer than the full roster —
+    # and the blocked result still equals the single-group one exactly
+    n_tracks, B = 24, 3
+    uid = np.repeat(np.arange(n_tracks, dtype=np.int64), 2)
+    rng = np.arange(2 * n_tracks, dtype=np.float64)
+    dense = pa.table(
+        {
+            "user_id": pa.array(uid),
+            "event_id": pa.array(np.arange(2 * n_tracks, dtype=np.int64)),
+            "ts": pa.array(np.arange(2 * n_tracks, dtype=np.int64)),
+            "lon": pa.array(10.0 + rng * 0.37 % 40.0),
+            "lat": pa.array(5.0 + rng * 0.23 % 30.0),
+        }
+    )
+    dds = rd.from_arrow(dense)
+    dbase = (
+        hausdorff_pairs(dds, key_col="user_id", order_cols=("ts", "event_id"))
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert len(dbase) == n_tracks * (n_tracks - 1) // 2
+    dgot = (
+        hausdorff_pairs(
+            dds, key_col="user_id", order_cols=("ts", "event_id"), n_pair_buckets=B
+        )
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dgot, dbase, check_dtype=False)
+    counts = np.bincount(_bucket_of(np.arange(n_tracks, dtype=np.int64), B), minlength=B)
+    worst = max(
+        int(counts[i] + (counts[j] if j != i else 0))
+        for i in range(B) for j in range(i, B)
+    )
+    assert worst < n_tracks, f"largest bucket-pair group {worst} ≥ roster {n_tracks}"
+
+
+def test_track_clusters_blocked_exact(ray_session, points_table):
+    """Blocked pricing + edge-list union-find (components_from_edges)
+    reproduces the quadratic in-group clustering exactly, singletons
+    included."""
+    import ray.data as rd
+
+    from routers_ray.trackops import track_clusters
+
+    ds = rd.from_arrow(points_table)
+    kw = dict(key_col="user_id", max_hd_m=3_500_000.0, order_cols=("ts", "event_id"))
+    base = (
+        track_clusters(ds, **kw)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    got = (
+        track_clusters(ds, n_pair_buckets=3, **kw)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert len(base) > 0
+    pd.testing.assert_frame_equal(
+        got[["user_id", "cluster_id", "cluster_size"]].astype("int64"),
+        base[["user_id", "cluster_id", "cluster_size"]].astype("int64"),
+    )
+
+
+def test_query_buckets_and_finer_grid_oracle(ray_session):
+    """Registry surface: q_hausdorff_pairs / q_track_clusters with
+    n_pair_buckets > 1 equal their defaults, and a FINER anchor grid
+    (cell_deg=30) with buckets still matches the DuckDB oracle built at
+    the same grid — the grid is a parameter, not a constant."""
+    import duckdb
+
+    from routers_ray.pipelines.queries import (
+        q_hausdorff_pairs,
+        q_track_clusters,
+        sql_hausdorff_pairs,
+    )
+
+    base = q_hausdorff_pairs(SF_DIR).to_pandas().sort_values(["ua", "ub"]).reset_index(drop=True)
+    got = (
+        q_hausdorff_pairs(SF_DIR, n_pair_buckets=4)
+        .to_pandas().sort_values(["ua", "ub"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, base, check_dtype=False)
+
+    cbase = q_track_clusters(SF_DIR).to_pandas().sort_values("user_id").reset_index(drop=True)
+    cgot = (
+        q_track_clusters(SF_DIR, n_pair_buckets=4)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        cgot[["user_id", "cluster_id", "cluster_size"]].astype("int64"),
+        cbase[["user_id", "cluster_id", "cluster_size"]].astype("int64"),
+    )
+
+    # 45° is the finest grid at which the sf0.001 corpus still has pairs
+    # (30° leaves none — every track alone in its cell)
+    fine = (
+        q_hausdorff_pairs(SF_DIR, cell_deg=45.0, n_pair_buckets=2)
+        .to_pandas().sort_values(["ua", "ub"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = (
+        con.sql(sql_hausdorff_pairs(cell_deg=45.0)).df()
+        .sort_values(["ua", "ub"]).reset_index(drop=True)
+    )
+    assert len(fine) == len(want) > 0
+    pd.testing.assert_frame_equal(fine, want, check_dtype=False, check_exact=True)
+    # finer grid ⇒ a (strict, on this corpus) subset of the 60° pair set
+    assert len(fine) < len(base)
