@@ -359,11 +359,52 @@ def bounded_dijkstra_c(csr, root: int, threshold_cm: float):
     return parents, dists
 
 
+def _flat_view(arrs):
+    """If ``arrs`` are consecutive C-contiguous int64 views of ONE base
+    buffer (the weigher's flat-array layout: boundary matrices are
+    reshaped slices of the kernel's flat cost array, node weights are
+    slices of the batched emission array), return the single flat view
+    spanning them — zero copies. Returns ``None`` when the layout doesn't
+    hold (scatter-packed incomplete matrices, fill_transition copies,
+    tail() copies) so the caller falls back to a concatenate."""
+    import numpy as np
+
+    if not arrs:
+        return None
+    base = arrs[0].base
+    if not isinstance(base, np.ndarray):
+        return None
+    if base.dtype != np.int64 or not base.flags.c_contiguous:
+        return None
+    base_ptr = base.__array_interface__["data"][0]
+    expect = arrs[0].__array_interface__["data"][0]
+    start = expect - base_ptr
+    if start < 0 or start % 8:
+        return None
+    total = 0
+    for a in arrs:
+        if (
+            a.base is not base
+            or a.dtype != np.int64
+            or not a.flags.c_contiguous
+            or a.__array_interface__["data"][0] != expect
+        ):
+            return None
+        expect += a.size * 8
+        total += a.size
+    return base.reshape(-1)[start // 8 : start // 8 + total]
+
+
 def viterbi_solve_c(trellis):
     """C-kernel Viterbi (forward min-plus + backtrack) — bit-identical to
     :func:`routers_ray.trellis.viterbi_solve` (integer arithmetic, same
     first-occurrence argmin tie-breaks). Returns (nodes, cost); raises the
-    same errors. Caller guarantees all boundaries resolved."""
+    same errors. Caller guarantees all boundaries resolved.
+
+    Flat hand-off: when the weigher's matrices/emissions are consecutive
+    views of one flat buffer (the complete-mode pack), the kernel reads
+    them in place — the per-doc ``concatenate`` copy only runs for
+    scatter-packed or externally-filled trellises."""
     import numpy as np
 
     from .trellis import INF_W, NotResolvedError, UnreachableError
@@ -374,16 +415,22 @@ def viterbi_solve_c(trellis):
     widths = np.asarray(trellis.widths, dtype=np.int64)
     L = widths.size
     nw_offs = np.concatenate(([0], np.cumsum(widths))).astype(np.int64)
-    node_w = (
-        np.concatenate(trellis.node_weights).astype(np.int64)
-        if L
-        else np.empty(0, np.int64)
-    )
+    node_w = _flat_view(trellis.node_weights) if L else None
+    if node_w is None:
+        node_w = (
+            np.concatenate(trellis.node_weights).astype(np.int64)
+            if L
+            else np.empty(0, np.int64)
+        )
     if L > 1:
-        mats = np.concatenate([b.ravel() for b in trellis.boundaries]).astype(np.int64)
         mat_offs = np.concatenate(
             ([0], np.cumsum([b.size for b in trellis.boundaries]))
         ).astype(np.int64)
+        mats = _flat_view(trellis.boundaries)
+        if mats is None:
+            mats = np.concatenate(
+                [b.ravel() for b in trellis.boundaries]
+            ).astype(np.int64)
     else:
         mats = np.empty(0, np.int64)
         mat_offs = np.zeros(1, np.int64)
