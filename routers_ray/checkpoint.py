@@ -75,6 +75,11 @@ _MANIFEST_TYPES = {
     "rows_out": pa.int64(),
     "rows_ok": pa.int64(),
     "docs_err": pa.int64(),
+    # JSON {error_kind: doc_count} — the doc-level taxonomy behind
+    # docs_err, so ops can see WHICH failure clusters where without
+    # re-reading partition data (kinds are matcher statuses:
+    # disconnected / unreachable / parse kinds, status != "ok")
+    "err_kinds": pa.string(),
     "max_ts": pa.int64(),
     "t_ms": pa.float64(),
     "revision_epoch": pa.int64(),
@@ -218,6 +223,15 @@ def run_checkpointed(
             # is one row per doc) — lineage shows WHERE failures cluster
             "rows_ok": int(pc.sum(pc.cast(pc.equal(matched["status"], "ok"), pa.int64())).as_py() or 0),
             "docs_err": int(pc.sum(pc.cast(pc.invert(pc.equal(matched["status"], "ok")), pa.int64())).as_py() or 0),
+            "err_kinds": json.dumps(
+                {
+                    str(kv["values"]): int(kv["counts"])
+                    for kv in pc.value_counts(
+                        matched.filter(pc.not_equal(matched["status"], "ok"))["status"]
+                    ).to_pylist()
+                },
+                sort_keys=True,
+            ),
             "max_ts": int(max_ts) if max_ts is not None else -1,
             "t_ms": (time.perf_counter() - t0) * 1000.0,
             "revision_epoch": revision_epoch,

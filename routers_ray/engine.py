@@ -175,6 +175,16 @@ class Engine:
 
         return radius_self_join(points_ds, r_deg, id_col, **kw)
 
+    def anchor_pairs(self, points_ds, key_col: str, r_deg: float, **kw):
+        """Track pairs whose first points are within ``r_deg`` — the
+        radius-join prefilter companion to :meth:`hausdorff` (candidate
+        bounding by geometry instead of grid cell; see
+        :func:`routers_ray.trackops.anchor_radius_pairs` for the
+        semantics caveat)."""
+        from .trackops import anchor_radius_pairs
+
+        return anchor_radius_pairs(points_ds, key_col=key_col, r_deg=r_deg, **kw)
+
     def track_clusters(self, points_ds, key_col: str, max_hd_m: float, **kw):
         """Single-link trajectory clustering via Hausdorff-threshold
         edges and per-cell connected components."""

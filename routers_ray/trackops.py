@@ -285,9 +285,57 @@ def geofence_dwell(points_ds, polygons: dict[int, np.ndarray], *, key_col: str,
     return points_ds.groupby(key_col).map_groups(_dwell, batch_format="pyarrow")
 
 
-def extent_cells(points_ds, *, z: int, lon_col: str = "lon", lat_col: str = "lat"):
+def anchor_radius_pairs(points_ds, *, key_col: str, r_deg: float,
+                        lon_col: str = "lon", lat_col: str = "lat",
+                        order_cols: tuple[str, ...] = ("ts",),
+                        metric=None, metric_max: float | None = None):
+    """Candidate track pairs whose FIRST points lie within ``r_deg`` of
+    each other — the radius-join (`spatialjoin.radius_self_join`) over one
+    anchor row per track. A cheap prefilter companion to the quadratic
+    Hausdorff join when the deployment accepts anchor-proximity candidate
+    semantics (it bounds candidates by geometry, not by grid cell); NOT a
+    lower bound on Hausdorff distance — two tracks with distant first
+    points can still be Hausdorff-close, so use it only where the anchor
+    convention is the pairing contract (as it is for the cell grid)."""
+    from .spatialjoin import radius_self_join
+
+    def _first(g: pa.Table) -> pa.Table:
+        lon, lat, _ = _ordered(g, lon_col, lat_col, order_cols)
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1).combine_chunks(),
+                "lon": pa.array([lon[0]], pa.float64()),
+                "lat": pa.array([lat[0]], pa.float64()),
+            }
+        )
+
+    anchors = points_ds.groupby(key_col).map_groups(_first, batch_format="pyarrow")
+    return radius_self_join(
+        anchors, r_deg, key_col, metric=metric, metric_max=metric_max
+    )
+
+
+def _hilbert_ordered(ds, xy_cols: tuple[str, str], z: int):
+    """Append a Hilbert-d key over ``xy_cols`` at order ``z`` and sort by
+    it — locality-preserving output ordering (neighbouring cells land in
+    neighbouring blocks, so a downstream tile writer/scanner touches
+    contiguous ranges). One distributed sort; opt-in."""
+    from .cells import hilbert_xy2d
+
+    def _key(t: pa.Table) -> pa.Table:
+        x = t[xy_cols[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[xy_cols[1]].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("hilbert", pa.array(hilbert_xy2d(x, y, z), pa.int64()))
+
+    return ds.map_batches(_key, batch_format="pyarrow").sort("hilbert")
+
+
+def extent_cells(points_ds, *, z: int, lon_col: str = "lon", lat_col: str = "lat",
+                 order: str | None = None):
     """Per-cell bounding box + count at slippy zoom ``z`` (see
-    ``q_extent_cells``): per-batch partial boxes, Min/Max/Sum finish."""
+    ``q_extent_cells``): per-batch partial boxes, Min/Max/Sum finish.
+    ``order="hilbert"`` sorts the output along the zoom-``z`` Hilbert
+    curve (locality-preserving block layout; one extra sort)."""
     from ray.data.aggregate import Max, Min, Sum
 
     from .pipelines.queries import extent_boxes_of
@@ -302,16 +350,21 @@ def extent_cells(points_ds, *, z: int, lon_col: str = "lon", lat_col: str = "lat
         .groupby(["x", "y"])
         .aggregate(Min("min_lon"), Max("max_lon"), Min("min_lat"), Max("max_lat"), Sum("n"))
     )
-    return agg.map_batches(
+    out = agg.map_batches(
         lambda t: t.rename_columns(["x", "y", "min_lon", "max_lon", "min_lat", "max_lat", "n"]),
         batch_format="pyarrow",
     )
+    if order == "hilbert":
+        return _hilbert_ordered(out, ("x", "y"), z)
+    return out
 
 
 def cell_transitions(points_ds, *, z: int, key_col: str, lon_col: str = "lon",
-                     lat_col: str = "lat", order_cols: tuple[str, ...] = ("ts",)):
+                     lat_col: str = "lat", order_cols: tuple[str, ...] = ("ts",),
+                     order: str | None = None):
     """Consecutive-hop flow matrix between zoom-``z`` cells (see
-    ``q_cell_transitions``; self-loops excluded)."""
+    ``q_cell_transitions``; self-loops excluded). ``order="hilbert"``
+    sorts by the SOURCE cell's Hilbert-d (locality-preserving layout)."""
     from .pipelines.queries import transition_partials_of
 
     def _hops(g: pa.Table) -> pa.Table:
@@ -324,10 +377,13 @@ def cell_transitions(points_ds, *, z: int, key_col: str, lon_col: str = "lon",
         .groupby(["src_x", "src_y", "dst_x", "dst_y"])
         .sum("n")
     )
-    return out.map_batches(
+    out = out.map_batches(
         lambda t: t.rename_columns(["src_x", "src_y", "dst_x", "dst_y", "n"]),
         batch_format="pyarrow",
     )
+    if order == "hilbert":
+        return _hilbert_ordered(out, ("src_x", "src_y"), z)
+    return out
 
 
 def track_clusters(points_ds, *, key_col: str, max_hd_m: float,

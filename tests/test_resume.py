@@ -69,8 +69,14 @@ def test_full_run_writes_manifest(world, tmp_path):
     for row in man:
         assert row["rows_out"] > 0 and row["t_ms"] > 0
         assert row["partition_id"].startswith("cell=")
-        # error taxonomy: ok rows + one row per failed doc == rows_out
+        # error taxonomy: ok rows + one row per failed doc == rows_out,
+        # and the per-kind breakdown sums back to the aggregate
         assert row["rows_ok"] + row["docs_err"] == row["rows_out"]
+        import json as _json
+
+        kinds = _json.loads(row["err_kinds"])
+        assert all(k != "ok" and n > 0 for k, n in kinds.items())
+        assert sum(kinds.values()) == row["docs_err"]
     full = read_matched(out)
     assert len(full) > 0
 

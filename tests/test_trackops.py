@@ -324,3 +324,78 @@ def test_query_buckets_and_finer_grid_oracle(ray_session):
     pd.testing.assert_frame_equal(fine, want, check_dtype=False, check_exact=True)
     # finer grid ⇒ a (strict, on this corpus) subset of the 60° pair set
     assert len(fine) < len(base)
+
+
+def test_anchor_radius_pairs_vs_brute(ray_session, points_table):
+    """anchor_radius_pairs == brute first-point radius join."""
+    import ray.data as rd
+
+    from routers_ray.trackops import anchor_radius_pairs
+
+    df = points_table.to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    first = df.sort_values(["ts_us", "event_id"]).groupby("user_id").first()
+    uid = first.index.to_numpy(dtype=np.int64)
+    lon = first["lon"].to_numpy()
+    lat = first["lat"].to_numpy()
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    iu = np.triu_indices(uid.size, k=1)
+    # radius that captures the 5 closest first-point pairs (the sf0.001
+    # corpus has only ~15 users spread globally — a fixed radius is
+    # either empty or all-pairs)
+    R = float(np.sqrt(np.sort(d2[iu])[4])) + 1e-9
+    rows = []
+    for i in range(uid.size):
+        for j in range(i + 1, uid.size):
+            if d2[i, j] <= R * R:
+                a, b = sorted((int(uid[i]), int(uid[j])))
+                rows.append((a, b))
+    want = sorted(rows)
+
+    got = (
+        anchor_radius_pairs(
+            rd.from_arrow(points_table), key_col="user_id", r_deg=R,
+            order_cols=("ts", "event_id"),
+        )
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert list(zip(got["a"].astype(int), got["b"].astype(int))) == want
+
+
+def test_hilbert_ordered_variants(ray_session, points_table):
+    """order="hilbert" returns the SAME rows as the default, sorted along
+    the zoom-z Hilbert curve."""
+    import ray.data as rd
+
+    from routers_ray.cells import hilbert_xy2d
+    from routers_ray.trackops import cell_transitions, extent_cells
+
+    Z = 4
+    ds = rd.from_arrow(points_table)
+    plain = extent_cells(ds, z=Z).to_pandas()
+    ordered = extent_cells(ds, z=Z, order="hilbert").to_pandas()
+    assert "hilbert" in ordered.columns
+    h = hilbert_xy2d(ordered["x"].to_numpy(), ordered["y"].to_numpy(), Z)
+    assert (ordered["hilbert"].to_numpy() == h.astype(np.int64)).all()
+    assert (np.diff(ordered["hilbert"].to_numpy()) >= 0).all()
+    key = ["x", "y", "min_lon", "max_lon", "min_lat", "max_lat", "n"]
+    pd.testing.assert_frame_equal(
+        ordered[key].sort_values(key).reset_index(drop=True),
+        plain[key].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    tplain = cell_transitions(
+        ds, z=Z, key_col="user_id", order_cols=("ts", "event_id")
+    ).to_pandas()
+    tordered = cell_transitions(
+        ds, z=Z, key_col="user_id", order_cols=("ts", "event_id"), order="hilbert"
+    ).to_pandas()
+    assert (np.diff(tordered["hilbert"].to_numpy()) >= 0).all()
+    tkey = ["src_x", "src_y", "dst_x", "dst_y", "n"]
+    pd.testing.assert_frame_equal(
+        tordered[tkey].sort_values(tkey).reset_index(drop=True),
+        tplain[tkey].sort_values(tkey).reset_index(drop=True),
+        check_dtype=False,
+    )
