@@ -399,3 +399,35 @@ def test_hilbert_ordered_variants(ray_session, points_table):
         tplain[tkey].sort_values(tkey).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_hausdorff_blocked_string_keys(ray_session):
+    """Blocked decomposition with STRING track keys (fnv1a→splitmix64
+    bucket branch): parity vs the single-group path, schema preserved."""
+    import ray.data as rd
+
+    from routers_ray.trackops import hausdorff_pairs
+
+    n_tracks = 12
+    uid = np.repeat([f"trk-{i:03d}" for i in range(n_tracks)], 3)
+    rng = np.arange(3 * n_tracks, dtype=np.float64)
+    pt = pa.table(
+        {
+            "tid": pa.array(uid),
+            "ts": pa.array(np.arange(3 * n_tracks, dtype=np.int64)),
+            "lon": pa.array(20.0 + rng * 0.91 % 25.0),
+            "lat": pa.array(10.0 + rng * 0.53 % 20.0),
+        }
+    )
+    ds = rd.from_arrow(pt)
+    base = (
+        hausdorff_pairs(ds, key_col="tid", order_cols=("ts",))
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert len(base) == n_tracks * (n_tracks - 1) // 2
+    assert base["a"].dtype == object  # string keys survive
+    got = (
+        hausdorff_pairs(ds, key_col="tid", order_cols=("ts",), n_pair_buckets=4)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, base, check_dtype=False)
