@@ -339,6 +339,41 @@ def geohash_to_u64(hashes) -> np.ndarray:
     return out
 
 
+def compact_xy(x, y, zoom: int, floor: int):
+    """Mixed-resolution compaction of a set of (x, y) tiles at ``zoom``:
+    every complete 4-sibling quad is replaced by its parent, recursively,
+    until ``floor`` — the minimal multi-zoom cover (H3 ``compact_cells`` /
+    the reference's zoom-compaction walk, ``fragment.rs:35-47``).
+
+    Pure per-subtree kernel: dedups its input, vectorized per level.
+    Returns (zoom, x, y) int64 arrays. Callers shard by the ``floor``
+    ancestor — promotions never cross it, so the global compact is the
+    union of independent per-ancestor compacts."""
+    if floor > zoom:
+        raise ValueError(f"floor {floor} above zoom {zoom}")
+    key = np.unique(
+        (np.asarray(x, dtype=np.int64) << np.int64(32)) | np.asarray(y, dtype=np.int64)
+    )
+    x = key >> np.int64(32)
+    y = key & np.int64(0xFFFFFFFF)
+    out_z, out_x, out_y = [], [], []
+    for z in range(zoom, floor, -1):
+        pk = ((x >> 1) << np.int64(32)) | (y >> 1)
+        uniq, counts = np.unique(pk, return_counts=True)
+        complete = uniq[counts == 4]
+        final = ~np.isin(pk, complete)
+        out_z.append(np.full(int(final.sum()), z, dtype=np.int64))
+        out_x.append(x[final])
+        out_y.append(y[final])
+        x, y = complete >> np.int64(32), complete & np.int64(0xFFFFFFFF)
+        if x.size == 0:
+            break
+    out_z.append(np.full(x.size, floor, dtype=np.int64))
+    out_x.append(x)
+    out_y.append(y)
+    return np.concatenate(out_z), np.concatenate(out_x), np.concatenate(out_y)
+
+
 def meters_to_deg(lat, meters):
     """Conservative meter→degree conversion at a latitude (for buffers)."""
     lat = np.asarray(lat, dtype=np.float64)

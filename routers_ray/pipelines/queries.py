@@ -1294,6 +1294,91 @@ def sql_cover_cells() -> str:
     """
 
 
+Z_COMPACT = 6  # compaction leaf zoom (89% occupied at sf0.01 — real promotions)
+Z_COMPACT_FLOOR = 3  # promotions stop here; a whole-floor subtree emits the floor cell
+
+
+def q_compact_cells(sf_dir: str):
+    """Mixed-resolution cell compaction: the minimal multi-zoom cover of
+    the occupied z=6 cells — every complete 4-sibling quad is replaced by
+    its parent, recursively down to z=3 (H3 ``compact_cells`` / the
+    reference's zoom-compaction walk, ``fragment.rs:35-47``, generalized
+    from the fixed-level roll-up of ``q_tile_rollup`` to the true
+    minimal cover).
+
+    Distributed shape: promotions never cross a floor-ancestor boundary
+    (a parent's 4 children share every coarser ancestor), so ONE
+    groupby on the z=3 ancestor makes each subtree's full multi-level
+    compaction local — group size is bounded by 4**(Z_COMPACT -
+    Z_COMPACT_FLOOR) = 64 distinct leaves regardless of input size, and
+    the shuffle moves only per-batch-distinct cell rows (combiner
+    pre-pass), never events."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+    steps = Z_COMPACT - Z_COMPACT_FLOOR
+
+    def _leaves(b: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(np.asarray(b["event_id"]))
+        x, y = _slippy_xy(lon, lat, Z_COMPACT)
+        key = np.unique((x << np.int64(32)) | y)
+        x = key >> np.int64(32)
+        y = key & np.int64(0xFFFFFFFF)
+        return pa.table(
+            {
+                "anchor": pa.array(
+                    ((x >> steps) << np.int64(32)) | (y >> steps), pa.int64()
+                ),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    def _compact(g: pd.DataFrame) -> pd.DataFrame:
+        # one z=3 subtree: ≤ 4**steps distinct leaves after dedup
+        from ..cells import compact_xy
+
+        z, x, y = compact_xy(
+            g["x"].to_numpy(np.int64),
+            g["y"].to_numpy(np.int64),
+            Z_COMPACT,
+            Z_COMPACT_FLOOR,
+        )
+        return pd.DataFrame({"zoom": z, "x": x, "y": y})
+
+    return (
+        ds.map_batches(_leaves, batch_format="pyarrow")
+        .groupby("anchor")
+        .map_groups(_compact, batch_format="pandas")
+    )
+
+
+def sql_compact_cells() -> str:
+    x, y = SQL_SLIPPY(Z_COMPACT)
+    parts = [
+        f"WITH pts AS ({SQL_EVENT_PTS}), "
+        f"l{Z_COMPACT} AS (SELECT DISTINCT {x} AS x, {y} AS y FROM pts)"
+    ]
+    finals = []
+    for z in range(Z_COMPACT, Z_COMPACT_FLOOR, -1):
+        p = z - 1
+        parts.append(
+            f", p{p} AS (SELECT CAST(floor(x/2.0) AS BIGINT) AS x,"
+            f" CAST(floor(y/2.0) AS BIGINT) AS y FROM l{z}"
+            f" GROUP BY 1, 2 HAVING COUNT(*) = 4)"
+        )
+        parts.append(
+            f", f{z} AS (SELECT {z} AS zoom, a.x, a.y FROM l{z} a"
+            f" ANTI JOIN p{p} b ON CAST(floor(a.x/2.0) AS BIGINT) = b.x"
+            f" AND CAST(floor(a.y/2.0) AS BIGINT) = b.y)"
+        )
+        parts.append(f", l{p} AS (SELECT x, y FROM p{p})")
+        finals.append(f"SELECT zoom, x, y FROM f{z}")
+    finals.append(f"SELECT {Z_COMPACT_FLOOR} AS zoom, x, y FROM l{Z_COMPACT_FLOOR}")
+    return " ".join(parts) + " " + " UNION ALL ".join(finals)
+
+
 HEAVY_THETA = 0.02  # frequent-item threshold (k = 50 counters)
 
 
@@ -3760,6 +3845,37 @@ def sql_ngram_jaccard() -> str:
     """
 
 
+DECON_N = 3  # word n-gram order for the contamination scan
+DECON_MOD = 50  # benchmark subset: doc_id % DECON_MOD == 0
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: corpus docs sharing any word 3-gram with
+    the benchmark subset (doc_id % 50 == 0), with the distinct-hit count —
+    the eval-leakage scan run before a pretraining cut. Broadcast-small-
+    side shape (``text.decontaminate``): the benchmark n-gram set gathers
+    once, the corpus pass is a single shuffle-free map_batches."""
+    import ray.data as rd
+
+    from ..text import decontaminate
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    return decontaminate(ds, n=DECON_N, benchmark_mod=DECON_MOD)
+
+
+def sql_decontaminate() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ng AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, UNNEST(generate_series(1, len(t)-{DECON_N - 1})) AS r(i)
+      WHERE len(t) >= {DECON_N}
+    ),
+    block AS (SELECT DISTINCT g FROM ng WHERE doc_id % {DECON_MOD} = 0),
+    d AS (SELECT DISTINCT doc_id, g FROM ng WHERE doc_id % {DECON_MOD} <> 0)
+    SELECT d.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM d JOIN block USING (g) GROUP BY 1
+    """
 
 
 def q_top_tokens(sf_dir: str):
@@ -3878,10 +3994,12 @@ def registry() -> dict[str, tuple]:
         "hll_users": (q_hll_users, sql_hll_users()),
         "cms_users": (q_cms_users, sql_cms_users()),
         "heavy_items": (q_heavy_items, sql_heavy_items()),
-        "minhash_pairs": (q_minhash_pairs, None),
+        # r5-new fully-oracled ops take the window slots of the two
+        # rows-only entries (whose oracled planted siblings stay in-window)
+        "compact_cells": (q_compact_cells, sql_compact_cells()),
+        "decontaminate": (q_decontaminate, sql_decontaminate()),
         "minhash_planted": (q_minhash_planted, sql_minhash_planted),
         "ann_topk": (q_ann_topk, sql_ann_topk()),
-        "ann_lsh": (q_ann_lsh, None),
         "ann_lsh_planted": (q_ann_lsh_planted, sql_ann_lsh_planted),
         "ann_ivf_planted": (q_ann_ivf_planted, sql_ann_ivf_planted),
         "embed_dups_lsh": (q_embed_dups_lsh, sql_embed_dups_lsh),
@@ -3904,4 +4022,8 @@ def registry() -> dict[str, tuple]:
         "range_join": (q_range_join, sql_range_join()),
         "sample_stratified": (q_sample_stratified, sql_sample_stratified()),
         "group_topk": (q_group_topk, sql_group_topk()),
+        # rows-only by design (approximate pipelines over the sf corpus);
+        # their oracled planted siblings + precision pytests stay in-window
+        "minhash_pairs": (q_minhash_pairs, None),
+        "ann_lsh": (q_ann_lsh, None),
     }

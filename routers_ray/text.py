@@ -550,3 +550,83 @@ def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     with, next to the whitespace count."""
     n = pc.count_substring_regex(pc.fill_null(batch[text_col], ""), BPE_RE)
     return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
+def word_ngrams_batch(texts, n: int = 3) -> tuple[np.ndarray, pa.Array]:
+    """(row_index, gram) for every consecutive word ``n``-gram in a batch
+    of texts — fully vectorized: one split, one flatten, ``n`` shifted
+    slices joined element-wise, a row-boundary mask. Returns ALL gram
+    positions (dedup at the use site)."""
+    toks = pc.split_pattern(pc.fill_null(texts, ""), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    counts = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    total = len(flat)
+    if total < n:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    parts = [flat.slice(i, total - n + 1) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    valid = rows[: total - n + 1] == rows[n - 1 :]
+    return rows[: total - n + 1][valid], grams.filter(pa.array(valid))
+
+
+def decontaminate(ds, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, benchmark_mod: int = 50):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    ``n``-gram with the benchmark subset (``id % benchmark_mod == 0``) —
+    the eval-leakage scan a training-data pipeline runs before every
+    pretraining cut.
+
+    Scale shape: the benchmark side is FIXED-SIZE by contract (an eval
+    suite, not a corpus), so its distinct n-gram set is built from
+    per-batch distinct partials and gathered once to the driver — the
+    broadcast-small-side pattern of ``sim.py``'s query matrix; Ray ships
+    the captured blocklist to each task via the object store, never per
+    batch. The corpus pass is one ``map_batches`` whose membership probe
+    touches each DISTINCT batch gram once (dictionary encode → one hashed
+    ``Index.get_indexer``), with per-row distinct-hit counting on packed
+    (row, code) keys. Output: (id, n_hits) for flagged non-benchmark
+    docs only — no shuffle at all.
+    """
+    import pandas as pd
+
+    def _bench_grams(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        mask = (ids % benchmark_mod) == 0
+        if not mask.any():
+            return pa.table({"g": pa.array([], pa.string())})
+        _, grams = word_ngrams_batch(b[text_col].filter(pa.array(mask)), n)
+        return pa.table({"g": pc.unique(grams)})
+
+    small = ds.map_batches(_bench_grams, batch_format="pyarrow").to_pandas()
+    blocklist = pd.Index(pd.unique(small["g"])) if len(small) else pd.Index([])
+
+    def _flag(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        hits = np.zeros(b.num_rows, np.int64)
+        rows, grams = word_ngrams_batch(b[text_col], n)
+        if len(grams) and len(blocklist):
+            enc = pc.dictionary_encode(grams)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            member = (
+                blocklist.get_indexer(enc.dictionary.to_numpy(zero_copy_only=False))
+                >= 0
+            )
+            key = np.unique((rows << np.int64(32)) | codes)
+            hit = member[(key & np.int64(0xFFFFFFFF)).astype(np.int64)]
+            hits = np.bincount(
+                (key >> np.int64(32))[hit], minlength=b.num_rows
+            ).astype(np.int64)
+        keep = ((ids % benchmark_mod) != 0) & (hits > 0)
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "n_hits": pa.array(hits[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_flag, batch_format="pyarrow")
