@@ -1567,6 +1567,43 @@ def sql_compact_cells() -> str:
     return " ".join(parts) + " " + " UNION ALL ".join(finals)
 
 
+def q_uncompact_cells(sf_dir: str):
+    """Uncompaction: the mixed-zoom compact cover fanned back out to its
+    z=6 leaf set (H3 ``uncompact_cells``). flat_map shape — each cover
+    cell expands to 4**(6-zoom) children locally, no shuffle after the
+    compact's own; by compact/uncompact duality the result is EXACTLY the
+    distinct occupied leaf set, which is what the oracle checks."""
+    cover = q_compact_cells(sf_dir)
+
+    def _expand(b: pa.Table) -> pa.Table:
+        z = b["zoom"].to_numpy(zero_copy_only=False)
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        s = (Z_COMPACT - z).astype(np.int64)
+        n = (np.int64(1) << s).astype(np.int64)
+        reps = (n * n).astype(np.int64)
+        rows = np.repeat(np.arange(z.size, dtype=np.int64), reps)
+        # per-cell local (dx, dy) ranks inside each expanded block
+        offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        rank = np.arange(rows.size, dtype=np.int64) - offs[rows]
+        side = n[rows]
+        out_x = (x[rows] << s[rows]) + rank // side
+        out_y = (y[rows] << s[rows]) + rank % side
+        return pa.table(
+            {
+                "x": pa.array(out_x, pa.int64()),
+                "y": pa.array(out_y, pa.int64()),
+            }
+        )
+
+    return cover.map_batches(_expand, batch_format="pyarrow")
+
+
+def sql_uncompact_cells() -> str:
+    x, y = SQL_SLIPPY(Z_COMPACT)
+    return f"WITH pts AS ({SQL_EVENT_PTS}) SELECT DISTINCT {x} AS x, {y} AS y FROM pts"
+
+
 HEAVY_THETA = 0.02  # frequent-item threshold (k = 50 counters)
 
 
@@ -4213,6 +4250,9 @@ def registry() -> dict[str, tuple]:
         # r4-green; displaced by the in-window r5 `frechet_pairs` (its
         # exact twin `embed_dups` keeps a current row in-window)
         "embed_dups_lsh": (q_embed_dups_lsh, sql_embed_dups_lsh),
+        # r5 tail addition: compact/uncompact duality (pytest + oracle;
+        # the in-window compact_cells row carries the family's evidence)
+        "uncompact_cells": (q_uncompact_cells, sql_uncompact_cells()),
         # rows-only by design (approximate pipelines over the sf corpus);
         # their oracled planted siblings + precision pytests stay in-window
         "minhash_pairs": (q_minhash_pairs, None),

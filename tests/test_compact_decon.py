@@ -166,6 +166,23 @@ def _brute_decon(tbl, n=3, mod=50):
     }
 
 
+def test_uncompact_roundtrips_to_leaf_set(ray_session):
+    """uncompact(compact(S)) == distinct leaf set S — the duality the
+    registry oracle also checks, pinned here at sf0.001 with the exact
+    leaf derivation inlined."""
+    import duckdb
+
+    from routers_ray.pipelines.queries import q_uncompact_cells, sql_uncompact_cells
+
+    sf = "/root/testdata/sf0.001"
+    got = q_uncompact_cells(sf).to_pandas().sort_values(["x", "y"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    want = con.sql(sql_uncompact_cells()).df().sort_values(["x", "y"]).reset_index(drop=True)
+    assert got.equals(want)
+    assert not got.duplicated().any()
+
+
 @pytest.mark.parametrize("n_blocks", [1, 7])
 def test_decontaminate_matches_brute_and_is_split_invariant(
     decon_docs, n_blocks, ray_session
