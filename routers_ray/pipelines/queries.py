@@ -1584,7 +1584,7 @@ def q_uncompact_cells(sf_dir: str):
         reps = (n * n).astype(np.int64)
         rows = np.repeat(np.arange(z.size, dtype=np.int64), reps)
         # per-cell local (dx, dy) ranks inside each expanded block
-        offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(reps)[:-1]])
         rank = np.arange(rows.size, dtype=np.int64) - offs[rows]
         side = n[rows]
         out_x = (x[rows] << s[rows]) + rank // side
