@@ -344,12 +344,17 @@ def _emit_shard_path(state_dir: str, shard: int) -> str:
     return os.path.join(state_dir, f"emit-shard={int(shard):05d}.parquet")
 
 
-def _shard_epoch(path: str) -> int:
-    """Epoch stamped in a shard file's schema metadata (-1 if absent)."""
+def _shard_stamp(path: str) -> tuple[int, str] | None:
+    """(epoch, batch fingerprint) stamped in a shard file's schema
+    metadata; ``None`` for a missing or legacy-unstamped file (both mean
+    "no completed write to compare against" — no sentinel value that a
+    real epoch could collide with)."""
     if not os.path.exists(path):
-        return -1
+        return None
     md = pq.read_schema(path).metadata or {}
-    return int(md.get(b"revision_epoch", b"-1"))
+    if b"revision_epoch" not in md:
+        return None
+    return int(md[b"revision_epoch"]), md.get(b"batch_fp", b"").decode()
 
 
 def _load_state_shard(state_dir: str, shard: int) -> dict[str, list[int]]:
@@ -360,11 +365,23 @@ def _load_state_shard(state_dir: str, shard: int) -> dict[str, list[int]]:
     return dict(zip(tbl["doc_id"].to_pylist(), tbl["ts"].to_pylist()))
 
 
+def _stamp_md(revision_epoch: int, batch_fp: str) -> dict[bytes, bytes]:
+    return {
+        b"revision_epoch": str(int(revision_epoch)).encode(),
+        b"batch_fp": batch_fp.encode(),
+    }
+
+
 def _write_state_shard(
-    state_dir: str, shard: int, state: dict[str, list[int]], revision_epoch: int = -1
+    state_dir: str,
+    shard: int,
+    state: dict[str, list[int]],
+    revision_epoch: int,
+    batch_fp: str = "",
 ) -> None:
     """Atomic per-shard state write (temp + rename, like the partition
-    outputs), stamped with the writing epoch for retry idempotency."""
+    outputs), stamped with the writing epoch + batch fingerprint for
+    retry idempotency."""
     docs = sorted(state)
     tbl = pa.table(
         {
@@ -372,18 +389,20 @@ def _write_state_shard(
             "ts": pa.array([state[d] for d in docs], pa.list_(pa.int64())),
         }
     )
-    tbl = tbl.replace_schema_metadata({b"revision_epoch": str(int(revision_epoch)).encode()})
+    tbl = tbl.replace_schema_metadata(_stamp_md(revision_epoch, batch_fp))
     p = _state_shard_path(state_dir, shard)
     tmp = p + ".tmp"
     pq.write_table(tbl, tmp)
     os.replace(tmp, p)
 
 
-def _write_emit_shard(state_dir: str, shard: int, out: pa.Table, revision_epoch: int) -> None:
+def _write_emit_shard(
+    state_dir: str, shard: int, out: pa.Table, revision_epoch: int, batch_fp: str = ""
+) -> None:
     """Persist a shard's emissions BEFORE the state rewrite so a task retry
     after the state write lands can replay them instead of reconciling
     every doc as 'skip' and silently emitting nothing."""
-    out = out.replace_schema_metadata({b"revision_epoch": str(int(revision_epoch)).encode()})
+    out = out.replace_schema_metadata(_stamp_md(revision_epoch, batch_fp))
     p = _emit_shard_path(state_dir, shard)
     tmp = p + ".tmp"
     pq.write_table(out, tmp)
@@ -495,7 +514,7 @@ def incremental_match(
     options: MatchOptions | None = None,
     n_state_shards: int = N_STATE_SHARDS,
     lazy: bool = False,
-) -> pa.Table:
+):
     """Micro-batch incremental matching with SHARDED per-doc trip state.
 
     State = per-doc matched ts-list (bounded to the last CONTEXT_WINDOW
@@ -516,14 +535,21 @@ def incremental_match(
     revision_epoch``; merge with :func:`merge_revisions`.
 
     Shard tasks are retry-idempotent: each state shard (and a per-shard
-    emissions sidecar) is stamped with the writing epoch, so a Ray task
-    retry / lineage reconstruction after the durable state write replays
-    the persisted emissions instead of reconciling every doc as 'skip'.
+    emissions sidecar) is stamped with (writing epoch, micro-batch
+    fingerprint), so a Ray task retry / lineage reconstruction after the
+    durable state write replays the persisted emissions instead of
+    reconciling every doc as 'skip'. The fingerprint distinguishes a
+    retry of the SAME batch (replayed) from a contract violation: epochs
+    must be unique per micro-batch and strictly increasing per state_dir
+    — reusing an epoch with different docs, or running an older epoch
+    after a newer one has advanced the state, raises instead of silently
+    emitting wrong (empty) results.
 
     Accepts a pyarrow Table (micro-batch) or a ray.data.Dataset. Returns
     a Table bounded by the micro-batch size; pass ``lazy=True`` to get the
     emissions back as a Dataset (no driver-side materialization) for
-    write-through at streaming scale.
+    write-through at streaming scale (consume it before submitting the
+    next epoch — the epoch ordering check is enforced at task runtime).
     """
     import ray.data as rd
 
@@ -552,20 +578,60 @@ def incremental_match(
         )
 
     epoch = int(revision_epoch)
+    if epoch < 0:
+        raise ValueError(f"revision_epoch must be >= 0, got {epoch}")
+
+    def _batch_fp(group: pa.Table) -> str:
+        """Deterministic content fingerprint of one shard's micro-batch
+        slice: doc ids + their raw point timestamps, order-independent.
+        A Ray retry re-runs the task on the identical group → identical
+        fingerprint; a different batch at the same epoch differs."""
+        import hashlib
+
+        ids = group["doc_id"].to_pylist()
+        ts = group["pts_ts"].to_pylist()
+        h = hashlib.md5()
+        for i in sorted(range(len(ids)), key=ids.__getitem__):
+            h.update(ids[i].encode())
+            h.update(b"\x00")
+            h.update(np.asarray(ts[i] or [], dtype=np.int64).tobytes())
+        return h.hexdigest()
 
     def _shard_group(group: pa.Table) -> pa.Table:
         shard = int(group["state_shard"][0].as_py())
         state_p = _state_shard_path(state_dir, shard)
+        fp = _batch_fp(group)
         # Retry idempotency (object-store lineage reconstruction can rerun
         # this task after its durable state write landed): if the state
-        # shard is already stamped with THIS epoch, the first attempt
-        # finished — replay its persisted emissions instead of reconciling
-        # every doc as 'skip' and silently dropping the shard's rows.
-        if _shard_epoch(state_p) == epoch:
-            emit_p = _emit_shard_path(state_dir, shard)
-            if _shard_epoch(emit_p) == epoch:
-                return pq.read_table(emit_p).replace_schema_metadata(None)
-            return _emit_schema().empty_table()
+        # shard is already stamped with THIS (epoch, batch), the first
+        # attempt finished — replay its persisted emissions instead of
+        # reconciling every doc as 'skip' and silently dropping rows.
+        stamp = _shard_stamp(state_p)
+        if stamp is not None:
+            st_epoch, st_fp = stamp
+            if st_epoch > epoch:
+                raise ValueError(
+                    f"stale revision_epoch {epoch} for state shard {shard}: "
+                    f"state already advanced to epoch {st_epoch} (out-of-order "
+                    "submission or a lazy dataset consumed after a newer epoch)"
+                )
+            if st_epoch == epoch:
+                if st_fp != fp:
+                    raise ValueError(
+                        f"revision_epoch {epoch} reused with a different "
+                        f"micro-batch on state shard {shard}: epochs must be "
+                        "unique per micro-batch"
+                    )
+                emit_p = _emit_shard_path(state_dir, shard)
+                if _shard_stamp(emit_p) == (epoch, fp):
+                    return pq.read_table(emit_p).replace_schema_metadata(None)
+                # emit-first write order makes this unreachable short of
+                # external file deletion — fail loudly, never emit nothing
+                raise RuntimeError(
+                    f"state shard {shard} is stamped epoch {epoch} but its "
+                    "emissions sidecar is missing — refusing to silently "
+                    "drop the shard's rows"
+                )
         state = _load_state_shard(state_dir, shard)
         st = get_store(store_path)
         out = _match_shard_docs(
@@ -574,8 +640,8 @@ def incremental_match(
         # emissions first, state last: a crash in between leaves the state
         # un-stamped, so the retry recomputes (deterministically) and
         # overwrites; once the state stamp lands, replay is pure read.
-        _write_emit_shard(state_dir, shard, out, epoch)
-        _write_state_shard(state_dir, shard, state, epoch)
+        _write_emit_shard(state_dir, shard, out, epoch, fp)
+        _write_state_shard(state_dir, shard, state, epoch, fp)
         return out
 
     res = ds.map_batches(_prep, batch_format="pyarrow").groupby("state_shard").map_groups(

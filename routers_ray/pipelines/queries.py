@@ -738,23 +738,37 @@ def od_first_last(uid: np.ndarray, eid: np.ndarray, ts: np.ndarray):
     return g[starts], g[ends]
 
 
-def _event_tracks(sf_dir: str, cell_deg: float = HAUS_CELL_DEG):
+def _event_tracks(sf_dir: str, cell_deg: float = HAUS_CELL_DEG,
+                  prefix_len: int | None = None):
     """Per-user ordered tracks as packed float64 blobs keyed by the first
     point's anchor cell — one groupby builds each track ONCE; shared by
-    the Hausdorff join and the track-clustering query."""
+    the Hausdorff join, the track-clustering query and (via
+    ``prefix_len``) the fixed-length Fréchet join: ``prefix_len=L`` keeps
+    only each user's first L points and DROPS users with fewer."""
     import ray.data as rd
 
     _check_haus_grid(cell_deg)
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    L = None if prefix_len is None else int(prefix_len)
 
     def _track(g: pa.Table) -> pa.Table:
         eid = g["event_id"].to_numpy(zero_copy_only=False)
         ts = g["ts"].to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, ts))
+        if L is not None:
+            if order.size < L:
+                return pa.table(
+                    {
+                        "user_id": pa.array([], pa.int64()),
+                        "cell": pa.array([], pa.int64()),
+                        "pts": pa.array([], pa.binary()),
+                    }
+                )
+            order = order[:L]
         lon, lat = event_lonlat(eid[order])
         return pa.table(
             {
-                "user_id": g["user_id"].slice(0, 1).combine_chunks(),
+                "user_id": pc.cast(g["user_id"].slice(0, 1), pa.int64()).combine_chunks(),
                 "cell": pa.array([_anchor_cell(lon[0], lat[0], cell_deg)], pa.int64()),
                 "pts": pa.array([np.concatenate([lon, lat]).tobytes()], pa.binary()),
             }
@@ -888,6 +902,10 @@ def q_track_clusters(sf_dir: str, *, cell_deg: float = HAUS_CELL_DEG,
     if int(n_pair_buckets) > 1:
         from ..trackops import components_from_edges, hausdorff_pair_rows
 
+        # two consumers below (pair pricing + roster self-loops): pin the
+        # built tracks (one small row per track) so the events scan +
+        # per-user groupby doesn't re-execute per consumer
+        tracks = tracks.materialize()
         pairs = hausdorff_pair_rows(tracks, "user_id", n_pair_buckets=n_pair_buckets)
 
         def _edges(t: pa.Table) -> pa.Table:
@@ -1046,34 +1064,8 @@ def q_frechet_pairs(sf_dir: str, *, cell_deg: float = HAUS_CELL_DEG):
     each 8-point track once, one groupby(cell) prices pairs with a single
     (P, 8, 8) haversine tensor + vectorized DP per cell; the same
     cell_deg sizing rule / blocked-decomposition caveat applies."""
-    import ray.data as rd
-
-    _check_haus_grid(cell_deg)
-    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
     L = FRECHET_L
-
-    def _track(g: pa.Table) -> pa.Table:
-        eid = g["event_id"].to_numpy(zero_copy_only=False)
-        ts = g["ts"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        if order.size < L:
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "cell": pa.array([], pa.int64()),
-                    "pts": pa.array([], pa.binary()),
-                }
-            )
-        lon, lat = event_lonlat(eid[order[:L]])
-        return pa.table(
-            {
-                "user_id": pc.cast(g["user_id"].slice(0, 1), pa.int64()).combine_chunks(),
-                "cell": pa.array([_anchor_cell(lon[0], lat[0], cell_deg)], pa.int64()),
-                "pts": pa.array([np.concatenate([lon, lat]).tobytes()], pa.binary()),
-            }
-        )
-
-    tracks = ds.groupby("user_id").map_groups(_track, batch_format="pyarrow")
+    tracks = _event_tracks(sf_dir, cell_deg, prefix_len=L)
 
     def _pairs(g: pa.Table) -> pa.Table:
         uid = np.asarray(g["user_id"], dtype=np.int64)
@@ -3632,6 +3624,7 @@ def q_simplify_tracks(sf_dir: str):
         lon_l = t["pts_lon"].combine_chunks() if isinstance(t["pts_lon"], pa.ChunkedArray) else t["pts_lon"]
         lat_l = t["pts_lat"].combine_chunks() if isinstance(t["pts_lat"], pa.ChunkedArray) else t["pts_lat"]
         offs = lon_l.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]  # flatten() rebases; slice-proof the pairing
         lon = lon_l.flatten().to_numpy(zero_copy_only=False)
         lat = lat_l.flatten().to_numpy(zero_copy_only=False)
         o_doc, o_seq, o_lon, o_lat = [], [], [], []
@@ -3698,6 +3691,7 @@ def q_resample_tracks(sf_dir: str):
             arr = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
             cols[c] = arr
         offs = cols["pts_lon"].offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]  # flatten() rebases; slice-proof the pairing
         lon = cols["pts_lon"].flatten().to_numpy(zero_copy_only=False)
         lat = cols["pts_lat"].flatten().to_numpy(zero_copy_only=False)
         tss = cols["pts_ts"].flatten().to_numpy(zero_copy_only=False)

@@ -22,7 +22,9 @@ def _stack_embeddings(col) -> np.ndarray:
     flat = np.asarray(arr.values, dtype=np.float64)
     offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     dim = int(offs[1] - offs[0]) if offs.size > 1 else 0
-    return flat.reshape(-1, dim)
+    # .values is the FULL child even for a sliced ListArray — window it to
+    # this array's span so the matrix has exactly len(col) rows
+    return flat[offs[0] : offs[-1]].reshape(-1, dim) if offs.size > 1 else flat.reshape(-1, max(dim, 1))[:0]
 
 
 def cosine_topk_partial(batch: pa.Table, queries: np.ndarray, query_ids: np.ndarray, k: int,

@@ -54,6 +54,9 @@ def parse_trajectories(batch: pa.Table) -> pa.Table:
     spans = _spans_chunks(batch["spans"])
     n_rows = len(batch)
     offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # A sliced ListArray's offsets don't start at 0 while flatten() rebases
+    # its values — rebase so span indices and flat arrays share one base.
+    offsets = offsets - offsets[0]
     flat = spans.flatten()  # StructArray of all spans
     kind = pc.struct_field(flat, "kind")
     text = pc.struct_field(flat, "text")

@@ -404,6 +404,9 @@ def track_clusters(points_ds, *, key_col: str, max_hd_m: float,
     tracks = _track_blobs(points_ds, key_col, lon_col, lat_col, order_cols, cell_deg)
 
     if int(n_pair_buckets) > 1:
+        # two consumers (pair pricing + roster): pin the built tracks so
+        # the points scan + per-key groupby doesn't re-execute per consumer
+        tracks = tracks.materialize()
         pairs = hausdorff_pair_rows(tracks, key_col, n_pair_buckets=n_pair_buckets)
 
         def _edges(t: pa.Table) -> pa.Table:
