@@ -14,6 +14,12 @@ Supported conditional syntax (``value @ (condition)``):
     "no @ (Mo-Fr 07:00-09:00,16:00-19:00)"— comma time-range lists
     "no @ (Sa; Su 10:00-14:00)"           — rule chaining: ANY group matches
     "no" / "yes" / "" / None              — unconditional
+    "no @ (PH)" / "no @ (Mo-Fr,PH …)"     — OSM holiday tokens (PH public /
+                                            SH school) against a supplied
+                                            holiday table (holiday_days)
+    "no @ (Mo-Fr 07:00-19:00); yes @ (PH)"— STACKED clauses (parse_access_
+                                            stacked): top-level ';' splits
+                                            paren-aware, last match wins
 
 Plus the bare opening-hours surface mirrored from ``opening_hours.rs``:
 ``parse_opening_hours`` handles "24/7", "closed"/"off", ';'-chained rules,
@@ -56,13 +62,23 @@ class _ParseFail(Exception):
     pass
 
 
-def _parse_days(tok: str) -> int:
-    """Weekday token → 7-bit mask. 'Mo-Fr', 'Sa,Su', 'Mo', full names;
-    ranges wrap the week (``Sa-Mo`` = Sa,Su,Mo)."""
+def _parse_days(tok: str) -> tuple[int, bool, bool]:
+    """Weekday token → (7-bit mask, PH flag, SH flag). 'Mo-Fr', 'Sa,Su',
+    'Mo', full names; ranges wrap the week (``Sa-Mo`` = Sa,Su,Mo); the OSM
+    holiday tokens ``PH`` (public holiday) / ``SH`` (school holiday) may
+    appear standalone or as comma-list members ("Mo-Fr,PH") and OR into
+    the day predicate against a caller-supplied holiday table."""
     mask = 0
+    ph = sh = False
     for part in tok.split(","):
         part = part.strip()
         if not part:
+            continue
+        if part == "PH":
+            ph = True
+            continue
+        if part == "SH":
+            sh = True
             continue
         if "-" in part:
             a, b = part.split("-", 1)
@@ -80,7 +96,7 @@ def _parse_days(tok: str) -> int:
             if i is None:
                 raise _ParseFail(tok)
             mask |= 1 << i
-    return mask
+    return mask, ph, sh
 
 
 def _parse_months(tok: str) -> int:
@@ -152,11 +168,16 @@ def _parse_times(tok: str) -> list[tuple[int, int]]:
 
 @dataclass
 class ConditionGroup:
-    """One ';'-chained group: month ∧ weekday ∧ time-of-day conjunction."""
+    """One ';'-chained group: month ∧ (weekday ∨ holiday) ∧ time-of-day
+    conjunction. ``ph``/``sh`` OR the public/school-holiday table into the
+    day predicate; ``day_mask`` may be 0 when only a holiday token was
+    given (holidays-only group)."""
 
     day_mask: int = _ALL_DAYS
     month_mask: int = _ALL_MONTHS
     ranges: list[tuple[int, int]] = field(default_factory=lambda: [(0, 1440)])
+    ph: bool = False
+    sh: bool = False
 
 
 @dataclass
@@ -172,6 +193,7 @@ class AccessRule:
 def _parse_group(text: str) -> ConditionGroup:
     day_mask = 0
     month_mask = 0
+    ph = sh = False
     ranges: list[tuple[int, int]] = []
     for tok in text.split():
         if _looks_like_time(tok):
@@ -179,11 +201,18 @@ def _parse_group(text: str) -> ConditionGroup:
         elif tok.split(",")[0].split("-")[0] in _MONTH_IDX:
             month_mask |= _parse_months(tok)
         else:
-            day_mask |= _parse_days(tok)
+            m, p, s = _parse_days(tok)
+            day_mask |= m
+            ph |= p
+            sh |= s
     return ConditionGroup(
-        day_mask=day_mask or _ALL_DAYS,
+        # a holidays-only group keeps day_mask=0: weekdays contribute
+        # nothing and the holiday table is the whole day predicate
+        day_mask=day_mask if (day_mask or ph or sh) else _ALL_DAYS,
         month_mask=month_mask or _ALL_MONTHS,
         ranges=ranges or [(0, 1440)],
+        ph=ph,
+        sh=sh,
     )
 
 
@@ -214,11 +243,35 @@ def _month_index(ts_us: np.ndarray) -> np.ndarray:
     return (months.astype(np.int64) % 12 + 12) % 12
 
 
-def _group_matches(g: ConditionGroup, ts_us: np.ndarray) -> np.ndarray:
+def holiday_days(dates) -> np.ndarray:
+    """Normalize a holiday table ('YYYY-MM-DD' strings, datetime64[D]
+    values, or day numbers) to int64 days-since-epoch for the vectorized
+    PH/SH membership test."""
+    arr = np.asarray(list(dates) if not isinstance(dates, np.ndarray) else dates)
+    if arr.size == 0:
+        return np.empty(0, np.int64)
+    if arr.dtype.kind in ("U", "S", "O", "M"):
+        return arr.astype("datetime64[D]").astype(np.int64)
+    return arr.astype(np.int64)
+
+
+def _group_matches(
+    g: ConditionGroup,
+    ts_us: np.ndarray,
+    holidays: np.ndarray | None = None,
+    school_holidays: np.ndarray | None = None,
+) -> np.ndarray:
     days_since_epoch = ts_us // 86_400_000_000
     weekday = (days_since_epoch + 3) % 7  # 1970-01-01 was a Thursday (Mo=0 → 3)
     minute = (ts_us // 60_000_000) % 1440
     ok = ((np.uint32(g.day_mask) >> weekday.astype(np.uint32)) & np.uint32(1)).astype(bool)
+    # holiday tokens OR into the day predicate ("Mo-Fr,PH"); a group with
+    # PH/SH but no supplied table can never match through that token (the
+    # conservative read: an unknown holiday calendar asserts nothing)
+    if g.ph and holidays is not None and holidays.size:
+        ok |= np.isin(days_since_epoch, holidays)
+    if g.sh and school_holidays is not None and school_holidays.size:
+        ok |= np.isin(days_since_epoch, school_holidays)
     if g.month_mask != _ALL_MONTHS:
         month = _month_index(ts_us)
         ok &= ((np.uint32(g.month_mask) >> month.astype(np.uint32)) & np.uint32(1)).astype(bool)
@@ -231,24 +284,114 @@ def _group_matches(g: ConditionGroup, ts_us: np.ndarray) -> np.ndarray:
     return ok & time_ok
 
 
-def evaluate(rule: AccessRule, ts_us: np.ndarray, default: bool = True) -> np.ndarray:
+def evaluate(
+    rule: AccessRule,
+    ts_us: np.ndarray,
+    default: bool = True,
+    holidays: np.ndarray | None = None,
+    school_holidays: np.ndarray | None = None,
+) -> np.ndarray:
     """Vectorized accessibility at µs-epoch timestamps (UTC).
 
     When any chained group matches, ``rule.value`` applies; otherwise the
     opposite ("no @ …" means open outside the window), matching OSM
     conditional semantics where the conditional value overrides the
-    implied base value.
+    implied base value. ``holidays``/``school_holidays`` (from
+    :func:`holiday_days`) feed the PH/SH tokens.
     """
     ts_us = np.asarray(ts_us, dtype=np.int64)
     if rule.unconditional:
         return np.full(ts_us.shape, rule.value, dtype=bool)
     cond = np.zeros(ts_us.shape, dtype=bool)
     for g in rule.groups:
-        cond |= _group_matches(g, ts_us)
+        cond |= _group_matches(g, ts_us, holidays, school_holidays)
     return np.where(cond, rule.value, not rule.value)
 
 
-def access_mask_batch(conditions: list[str | None], ts_us: np.ndarray) -> np.ndarray:
+@dataclass
+class StackedAccess:
+    """A full OSM conditional-restriction VALUE: ``v1 @ (c1); v2 @ (c2)``
+    top-level clauses (paren-aware split — ';' also chains groups INSIDE
+    a clause's parens) over an optional bare base value. Evaluation is
+    last-match-wins: clauses apply in order and a later matching clause
+    overrides an earlier one (OSM conditional-restrictions stacking)."""
+
+    base: bool
+    clauses: list[tuple[bool, list[ConditionGroup]]]
+
+
+def _split_top(expr: str) -> list[str]:
+    """Split on ';' at paren depth 0 only."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(expr):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == ";" and depth == 0:
+            parts.append(expr[start:i])
+            start = i + 1
+    parts.append(expr[start:])
+    return [p for p in (s.strip() for s in parts) if p]
+
+
+_CLAUSE_RE = re.compile(r"^(yes|no)\s*@\s*\((.*)\)$", re.S)
+
+
+def parse_access_stacked(expr: str | None, default: bool = True) -> StackedAccess:
+    """Compile a stacked conditional-access expression ("no @ (Mo-Fr
+    07:00-19:00); yes @ (PH)"). A bare yes/no clause sets the base;
+    unparseable clauses are dropped (default-allow posture, matching
+    :func:`parse_access`)."""
+    if expr is None or not expr.strip():
+        return StackedAccess(default, [])
+    base: bool | None = None
+    clauses: list[tuple[bool, list[ConditionGroup]]] = []
+    for piece in _split_top(expr.strip()):
+        if piece in ("yes", "no"):
+            base = piece == "yes"
+            continue
+        m = _CLAUSE_RE.match(piece)
+        if not m:
+            continue  # unparseable clause → asserts nothing
+        try:
+            groups = [_parse_group(g) for g in m.group(2).split(";") if g.strip()]
+        except _ParseFail:
+            continue
+        if groups:
+            clauses.append((m.group(1) == "yes", groups))
+    if base is None:
+        # no bare base value: the complement of the first clause's value
+        # (matches parse_access's single-clause conditional-overrides-base
+        # semantics: "yes @ (Sa,Su)" alone means closed on other days)
+        base = (not clauses[0][0]) if clauses else default
+    return StackedAccess(base, clauses)
+
+
+def evaluate_stacked(
+    sa: StackedAccess,
+    ts_us: np.ndarray,
+    holidays: np.ndarray | None = None,
+    school_holidays: np.ndarray | None = None,
+) -> np.ndarray:
+    """Vectorized stacked evaluation: base value, then each clause in
+    order overrides where its condition matches (last match wins)."""
+    ts_us = np.asarray(ts_us, dtype=np.int64)
+    out = np.full(ts_us.shape, sa.base, dtype=bool)
+    for value, groups in sa.clauses:
+        cond = np.zeros(ts_us.shape, dtype=bool)
+        for g in groups:
+            cond |= _group_matches(g, ts_us, holidays, school_holidays)
+        out = np.where(cond, value, out)
+    return out
+
+
+def access_mask_batch(
+    conditions: list[str | None],
+    ts_us: np.ndarray,
+    holidays: np.ndarray | None = None,
+    school_holidays: np.ndarray | None = None,
+) -> np.ndarray:
     """(n_edges × n_ts) accessibility matrix — compile each distinct
     condition once, evaluate vectorized (the actor-stage shape)."""
     compiled: dict[str | None, AccessRule] = {}
@@ -258,7 +401,26 @@ def access_mask_batch(conditions: list[str | None], ts_us: np.ndarray) -> np.nda
         if rule is None:
             rule = parse_access(c)
             compiled[c] = rule
-        out[i] = evaluate(rule, ts_us)
+        out[i] = evaluate(rule, ts_us, holidays=holidays, school_holidays=school_holidays)
+    return out
+
+
+def access_mask_batch_stacked(
+    conditions: list[str | None],
+    ts_us: np.ndarray,
+    holidays: np.ndarray | None = None,
+    school_holidays: np.ndarray | None = None,
+) -> np.ndarray:
+    """Stacked-clause twin of :func:`access_mask_batch` (multi-clause
+    conditional values + PH/SH holiday tokens)."""
+    compiled: dict[str | None, StackedAccess] = {}
+    out = np.empty((len(conditions), np.asarray(ts_us).size), dtype=bool)
+    for i, c in enumerate(conditions):
+        sa = compiled.get(c)
+        if sa is None:
+            sa = parse_access_stacked(c)
+            compiled[c] = sa
+        out[i] = evaluate_stacked(sa, ts_us, holidays, school_holidays)
     return out
 
 
@@ -334,7 +496,14 @@ def parse_opening_hours(expr: str) -> OpeningHours:
                 if _looks_like_time(tok):
                     times.extend(_parse_times(tok))
                 else:
-                    day_mask = (day_mask or 0) | _parse_days(tok)
+                    m, ph, sh = _parse_days(tok)
+                    if ph or sh:
+                        # the reference's Weekday::from_str has no holiday
+                        # tokens (opening_hours.rs:9-40) — bare opening
+                        # hours reject them; only the conditional-access
+                        # grammar (ConditionGroup) understands PH/SH
+                        raise _ParseFail(tok)
+                    day_mask = (day_mask or 0) | m
         except _ParseFail as exc:
             raise ValueError(f"Invalid rule part: {part}") from exc
         if not times:

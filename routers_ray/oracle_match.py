@@ -847,6 +847,228 @@ def planted_access_expected_path() -> str:
 
 
 # ---------------------------------------------------------------------------
+# planted holiday/stacked-conditional world: PH/SH tokens + multi-clause
+# conditional values ("no @ (Mo-Fr 07:00-19:00); yes @ (PH)") — the OSM
+# conditional-restrictions stacking the reference's single-clause grammar
+# (condition.rs:321-390) leaves on the table. The scalar twin below
+# re-derives every probe with datetime + date-string sets, independent of
+# access.py's bitmask/vectorized path.
+# ---------------------------------------------------------------------------
+
+PUBLIC_HOLIDAYS_2024 = [
+    "2024-01-01", "2024-03-29", "2024-05-01", "2024-12-25", "2024-12-26",
+]
+
+# Jul 1 - Aug 31 summer break (inclusive)
+SCHOOL_HOLIDAYS_2024 = [
+    str(d) for d in np.arange(
+        np.datetime64("2024-07-01"), np.datetime64("2024-09-01")
+    )
+]
+
+HOLIDAY_PROBES_US = [
+    1735120800000000,  # 2024-12-25 Wed 10:00 - PH, weekday, daytime
+    1735167600000000,  # 2024-12-25 Wed 23:00 - PH, night
+    1704103200000000,  # 2024-01-01 Mon 10:00 - PH on a Monday
+    1704708000000000,  # 2024-01-08 Mon 10:00 - plain weekday
+    1721037600000000,  # 2024-07-15 Mon 10:00 - SH weekday
+    1723298400000000,  # 2024-08-10 Sat 14:00 - SH weekend
+    1711699200000000,  # 2024-03-29 Fri 08:00 - PH on a Friday morning
+    1714788000000000,  # 2024-05-04 Sat 02:00 - weekend night
+    1735232400000000,  # 2024-12-26 Thu 17:00 - PH, rush hour
+]
+
+_HOLIDAY_CONDITIONS = [
+    None,
+    "yes",
+    "no",
+    "no @ (PH)",
+    "yes @ (SH)",
+    "no @ (Mo-Fr,PH 08:00-18:00)",
+    "no @ (SH Mo-Fr)",
+    "no @ (Dec PH)",
+    "no @ (Mo-Fr 07:00-19:00); yes @ (PH)",
+    "no @ (22:00-06:00); no @ (PH)",
+    "yes @ (Sa,Su); yes @ (PH)",
+    "no @ (Mo-Fr 07:00-09:00,16:00-19:00); yes @ (SH Sa,Su)",
+    "designated @ sunrise-sunset",  # unparseable clause -> asserts nothing
+]
+
+
+def planted_holiday_world(n_edges: int = 500, seed: int = 31) -> str:
+    """Edge table with stacked/holiday conditional-access expressions.
+    Cached per process; returns parquet path."""
+    hit = _PLANTED.get("holiday_path")
+    if hit is not None:
+        return hit
+    rng = np.random.default_rng(seed)
+    conds = [
+        _HOLIDAY_CONDITIONS[int(rng.integers(0, len(_HOLIDAY_CONDITIONS)))]
+        for _ in range(n_edges)
+    ]
+    tbl = pa.table(
+        {
+            "edge_id": pa.array(np.arange(n_edges, dtype=np.int64), pa.int64()),
+            "condition": pa.array(conds, pa.string()),
+        }
+    )
+    out_dir = tempfile.mkdtemp(prefix="routers_ray_oracle_holiday_")
+    path = os.path.join(out_dir, "planted_holiday.parquet")
+    pq.write_table(tbl, path)
+    _PLANTED["holiday_path"] = path
+    return path
+
+
+def _scalar_group_match(group: str, d, date_str: str,
+                        ph_dates: set, sh_dates: set) -> bool:
+    """One parenthesized group at one instant — datetime/set based."""
+    day_names = ["Mo", "Tu", "We", "Th", "Fr", "Sa", "Su"]
+    mon_names = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                 "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+    def expand(names, toks):
+        out = set()
+        for part in toks:
+            if "-" in part:
+                a, b = part.split("-", 1)
+                if a not in names or b not in names:
+                    raise ValueError(part)
+                i = names.index(a)
+                while True:
+                    out.add(i)
+                    if i == names.index(b):
+                        break
+                    i = (i + 1) % len(names)
+            elif part:
+                if part not in names:
+                    raise ValueError(part)
+                out.add(names.index(part))
+        return out
+
+    days, months, windows = None, None, None
+    ph = sh = False
+    for tok in group.split():
+        if tok[0].isdigit():
+            windows = windows or []
+            for rp in tok.split(","):
+                a, b = rp.split("-", 1)
+
+                def mins(t):
+                    bits = t.split(":")
+                    return int(bits[0]) * 60 + (int(bits[1]) if len(bits) > 1 else 0)
+
+                windows.append((mins(a), mins(b)))
+        elif tok.split(",")[0].split("-")[0] in mon_names:
+            months = (months or set()) | expand(mon_names, tok.split(","))
+        else:
+            parts = [p for p in tok.split(",") if p]
+            ph |= "PH" in parts
+            sh |= "SH" in parts
+            rest = [p for p in parts if p not in ("PH", "SH")]
+            if rest:
+                days = (days or set()) | expand(day_names, rest)
+            elif days is None:
+                days = set()  # holiday-token-only day predicate
+    if days is None and not ph and not sh:
+        day_ok = True
+    else:
+        day_ok = d.weekday() in (days or set())
+        if ph and date_str in ph_dates:
+            day_ok = True
+        if sh and date_str in sh_dates:
+            day_ok = True
+    ok = day_ok and (months is None or (d.month - 1) in months)
+    if ok and windows is not None:
+        minute = d.hour * 60 + d.minute
+        t_ok = False
+        for s, e in windows:
+            t_ok |= (s <= minute < e) if e >= s else (minute >= s or minute < e)
+        ok = t_ok
+    return ok
+
+
+def _scalar_stacked_open(cond, ts_us: int) -> bool:
+    """Independent stacked-clause evaluation: paren-aware top-level ';'
+    split, per-clause group match, last matching clause wins over a base
+    inferred as the first clause's complement (or a bare yes/no)."""
+    import datetime as dt
+
+    if cond is None or not cond.strip():
+        return True
+    s = cond.strip()
+    pieces, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == ";" and depth == 0:
+            pieces.append(s[start:i])
+            start = i + 1
+    pieces.append(s[start:])
+    pieces = [p.strip() for p in pieces if p.strip()]
+
+    d = dt.datetime.fromtimestamp(ts_us / 1e6, tz=dt.timezone.utc)
+    date_str = d.strftime("%Y-%m-%d")
+    ph_dates, sh_dates = set(PUBLIC_HOLIDAYS_2024), set(SCHOOL_HOLIDAYS_2024)
+
+    base = None
+    clauses = []
+    for p in pieces:
+        if p in ("yes", "no"):
+            base = p == "yes"
+            continue
+        m = re.match(r"^(yes|no)\s*@\s*\((.*)\)$", p, re.S)
+        if not m:
+            continue
+        try:
+            matched = any(
+                _scalar_group_match(g.strip(), d, date_str, ph_dates, sh_dates)
+                for g in m.group(2).split(";")
+                if g.strip()
+            )
+        except ValueError:
+            continue
+        clauses.append((m.group(1) == "yes", matched))
+    if base is None:
+        base = (not clauses[0][0]) if clauses else True
+    out = base
+    for v, matched in clauses:
+        if matched:
+            out = v
+    return out
+
+
+def planted_holiday_expected_path() -> str:
+    """Per-probe open-edge counts of the planted holiday world, via the
+    scalar datetime recomputation. Written once."""
+    hit = _PLANTED.get("holiday_expected")
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as papq
+
+    tbl = papq.read_table(planted_holiday_world())
+    conds = tbl["condition"].to_pylist()
+    rows = []
+    for ts_us in HOLIDAY_PROBES_US:
+        n_open = sum(1 for c in conds if _scalar_stacked_open(c, ts_us))
+        rows.append((ts_us, n_open))
+    out_dir = tempfile.mkdtemp(prefix="routers_ray_oracle_holidayx_")
+    path = os.path.join(out_dir, "holiday_expected.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "ts_us": pa.array([r[0] for r in rows], pa.int64()),
+                "n_open": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        path,
+    )
+    _PLANTED["holiday_expected"] = path
+    return path
+
+
+# ---------------------------------------------------------------------------
 # planted speed-limit world: the maxspeed parser-family oracle
 # ---------------------------------------------------------------------------
 

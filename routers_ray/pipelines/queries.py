@@ -3328,6 +3328,55 @@ def sql_access_windows() -> str:
     )
 
 
+def q_holiday_access(sf_dir: str):
+    """Stacked conditional access with OSM holiday tokens over the planted
+    holiday world — multi-clause values ("no @ (Mo-Fr 07:00-19:00);
+    yes @ (PH)", paren-aware top-level split, last match wins) and PH/SH
+    day tokens resolved against a broadcast public/school holiday table
+    (the long tail past the reference's single-clause ``condition.rs``
+    grammar). Same distributed shape as ``q_access_windows``: compile
+    once per distinct condition, vectorized probe evaluation per batch,
+    per-probe open-edge counts as a partial aggregation; oracled against
+    an independent per-timestamp datetime+set recomputation."""
+    import ray.data as rd
+
+    from ..access import access_mask_batch_stacked, holiday_days
+    from ..oracle_match import (
+        HOLIDAY_PROBES_US,
+        PUBLIC_HOLIDAYS_2024,
+        SCHOOL_HOLIDAYS_2024,
+        planted_holiday_world,
+    )
+
+    probes = np.asarray(HOLIDAY_PROBES_US, dtype=np.int64)
+    ph = holiday_days(PUBLIC_HOLIDAYS_2024)
+    sh = holiday_days(SCHOOL_HOLIDAYS_2024)
+    ds = rd.read_parquet(planted_holiday_world())
+
+    def _partial(b: pa.Table) -> pa.Table:
+        mask = access_mask_batch_stacked(b["condition"].to_pylist(), probes, ph, sh)
+        return pa.table(
+            {
+                "ts_us": pa.array(probes, pa.int64()),
+                "n_open": pa.array(mask.sum(axis=0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby("ts_us").sum("n_open")
+    return agg.map_batches(
+        lambda t: t.rename_columns(["ts_us", "n_open"]), batch_format="pyarrow"
+    )
+
+
+def sql_holiday_access() -> str:
+    from ..oracle_match import planted_holiday_expected_path
+
+    return (
+        "SELECT ts_us, n_open FROM "
+        f"read_parquet('{planted_holiday_expected_path()}')"
+    )
+
+
 def q_speed_limits(sf_dir: str):
     """Effective speed limits over the planted maxspeed world — the full
     parser family (blanket / per-lane / mph-knots units / mode + direction
@@ -4178,6 +4227,8 @@ def registry() -> dict[str, tuple]:
         "tiles_dated": (q_tiles_dated, sql_tiles_dated()),
         "transport_access": (q_transport_access, sql_transport_access()),
         "access_windows": (q_access_windows, sql_access_windows),
+        # r5-new: stacked clauses + PH/SH holiday tokens (never checked)
+        "holiday_access": (q_holiday_access, sql_holiday_access),
         "embed_dups": (q_embed_dups, sql_embed_dups()),
         "embed_norms": (q_embed_norms, sql_embed_norms()),
         "media_features": (q_media_features, sql_media_features()),
@@ -4212,8 +4263,10 @@ def registry() -> dict[str, tuple]:
         "cluster_cells": (q_cluster_cells, sql_cluster_cells()),
         "top_customers": (q_top_customers, sql_top_customers()),
         "hll_users": (q_hll_users, sql_hll_users()),
-        "cms_users": (q_cms_users, sql_cms_users()),
-        "heavy_items": (q_heavy_items, sql_heavy_items()),
+        # r5: compact/uncompact duality both in-window (both never
+        # driver-checked before r5); cms_users (r4-green, sketch pytests)
+        # rotates to the tail
+        "uncompact_cells": (q_uncompact_cells, sql_uncompact_cells()),
         # r5-new fully-oracled ops take the window slots of the two
         # rows-only entries (whose oracled planted siblings stay in-window)
         "compact_cells": (q_compact_cells, sql_compact_cells()),
@@ -4244,9 +4297,11 @@ def registry() -> dict[str, tuple]:
         # r4-green; displaced by the in-window r5 `frechet_pairs` (its
         # exact twin `embed_dups` keeps a current row in-window)
         "embed_dups_lsh": (q_embed_dups_lsh, sql_embed_dups_lsh),
-        # r5 tail addition: compact/uncompact duality (pytest + oracle;
-        # the in-window compact_cells row carries the family's evidence)
-        "uncompact_cells": (q_uncompact_cells, sql_uncompact_cells()),
+        # r4-green scalar sketches rotated out for the never-checked
+        # uncompact_cells / holiday_access (policy: never-checked queries
+        # take the window)
+        "cms_users": (q_cms_users, sql_cms_users()),
+        "heavy_items": (q_heavy_items, sql_heavy_items()),
         # rows-only by design (approximate pipelines over the sf corpus);
         # their oracled planted siblings + precision pytests stay in-window
         "minhash_pairs": (q_minhash_pairs, None),
