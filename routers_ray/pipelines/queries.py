@@ -3605,6 +3605,94 @@ def _match_world(n_docs: int = 120):
     return _MATCH_WORLD[key]
 
 
+def q_span_integrity(sf_dir: str):
+    """Per-row span-sequence equality — THE input-contract invariant: the
+    match pipeline's OUTPUT must carry every doc's span sequence (kind,
+    text, media_ref, order) byte-identical to the INPUT corpus, through
+    the salt pre-pass, the routing exchange and the spans strip/rejoin.
+
+    Ray side: full ``match_documents`` run with spans kept; one canonical
+    md5 signature row per doc computed FROM THE OUTPUT (vectorized Arrow
+    canonical form, one md5 per doc). Oracle side: DuckDB reads the INPUT
+    parquet and recomputes the identical canonical form — any dropped,
+    reordered or corrupted span anywhere in the pipeline flips the hash,
+    so the driver's value-hash check IS the invariant."""
+    import hashlib
+
+    import ray.data as rd
+
+    from .match_pipeline import match_documents
+
+    w = _match_world()
+    out = match_documents(
+        rd.read_parquet(w["paths"]["parquet"]), w["store"], concurrency=2, batch_size=64
+    )
+
+    def _sig(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
+        _, first = np.unique(ids, return_index=True)
+        sub = b.take(pa.array(np.sort(first)))
+        col = sub["spans"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = (
+                pa.concat_arrays(col.chunks)
+                if col.num_chunks
+                else pa.array([], col.type)
+            )
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = col.flatten()
+        nul = "\x00"
+        per_span = pc.binary_join_element_wise(
+            pc.struct_field(flat, "kind"),
+            pc.fill_null(pc.struct_field(flat, "text"), nul),
+            pc.fill_null(pc.struct_field(flat, "media_ref"), nul),
+            "\x1f",
+        )
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), per_span)
+        canon = pc.binary_join(lists, "\x1e").to_pylist()
+        sigs = [hashlib.md5((c or "").encode()).hexdigest() for c in canon]
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "n_spans": pa.array(np.diff(offs), pa.int64()),
+                "span_sig": pa.array(sigs, pa.string()),
+            }
+        )
+
+    import pandas as pd
+
+    return (
+        out.map_batches(_sig, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+def sql_span_integrity() -> str:
+    w = _match_world()
+    return f"""
+    WITH docs AS (SELECT * FROM read_parquet('{w["paths"]["parquet"]}')),
+    s AS (
+      SELECT doc_id, i,
+             spans[i].kind AS kind,
+             coalesce(spans[i].text, chr(0)) AS text,
+             coalesce(spans[i].media_ref, chr(0)) AS media_ref
+      FROM docs, UNNEST(generate_series(1, len(spans))) AS r(i)
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             md5(string_agg(kind || chr(31) || text || chr(31) || media_ref,
+                            chr(30) ORDER BY i)) AS span_sig
+      FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, n_spans, span_sig FROM sig
+    UNION ALL
+    SELECT doc_id, CAST(0 AS BIGINT), md5('') FROM docs WHERE len(spans) = 0
+    """
+
+
 def q_match(sf_dir: str):
     """FLAGSHIP: Viterbi map-match of the interleaved-doc corpus (synth
     world, deterministic). Returns per-point matched rows. Non-SQL."""
@@ -4216,6 +4304,9 @@ def registry() -> dict[str, tuple]:
         # (expected-parquet generation is paid only when an oracle
         # consumer resolves it)
         "match": (q_match, sql_match),
+        # r5-new: the input-contract invariant (span-sequence equality
+        # through the full match pipeline), never driver-checked before
+        "span_integrity": (q_span_integrity, sql_span_integrity),
         "match_tiles": (q_match_tiles, sql_match_tiles),
         "match_capped": (q_match_capped, sql_match_capped),
         "simplify_tracks": (q_simplify_tracks, sql_simplify_tracks),
@@ -4249,7 +4340,6 @@ def registry() -> dict[str, tuple]:
         # polygon VALUES literal is sf-invariant
         "pip_polygon": (q_pip_polygon, sql_pip_polygon()),
         "cover_cells": (q_cover_cells, sql_cover_cells()),
-        "polygon_area": (q_polygon_area, sql_polygon_area()),
         "coloc_pairs": (q_coloc_pairs, sql_coloc_pairs()),
         "coloc_pairs_m": (q_coloc_pairs_m, sql_coloc_pairs_m()),
         "hausdorff_pairs": (q_hausdorff_pairs, sql_hausdorff_pairs()),
@@ -4302,6 +4392,7 @@ def registry() -> dict[str, tuple]:
         # take the window)
         "cms_users": (q_cms_users, sql_cms_users()),
         "heavy_items": (q_heavy_items, sql_heavy_items()),
+        "polygon_area": (q_polygon_area, sql_polygon_area()),
         # rows-only by design (approximate pipelines over the sf corpus);
         # their oracled planted siblings + precision pytests stay in-window
         "minhash_pairs": (q_minhash_pairs, None),
