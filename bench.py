@@ -273,7 +273,11 @@ def run_bench() -> dict:
                  "rasterize", "raster_runs", "hll_users", "pip_polygon",
                  # round-4 fifth-pass track analytics: pair join, flows, dwell
                  "hausdorff_pairs", "cell_transitions", "dwell_polygon",
-                 "heavy_items"):
+                 "heavy_items",
+                 # round-5 families: mixed-zoom compaction, eval-leakage
+                 # decontamination, Frechet pair join, holiday/stacked access
+                 "compact_cells", "decontaminate", "frechet_pairs",
+                 "holiday_access"):
         fn, _ = reg[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)
