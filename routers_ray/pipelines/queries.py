@@ -539,6 +539,89 @@ def sql_knn_station() -> str:
     """
 
 
+def q_knn_rtree(sf_dir: str):
+    """k-NN (k=3) via the STR-packed R-tree candidate path — the north
+    rule's literal "R-tree-backed kNN candidate search inside
+    map_batches": the station tree builds once on the driver, the batch
+    closure captures it (object store, once per task), each batch gathers
+    candidates with the metric-safe expanding-radius traversal
+    (:func:`routers_ray.rtree.knn_candidates`) and refines with the exact
+    haversine + (dist, id) tie order. Must equal ``q_knn_station``'s
+    brute-force broadcast join row-for-row (same SQL oracle)."""
+    import ray.data as rd
+
+    from ..rtree import STRtree, knn_candidates
+
+    K = 3
+    nation = papq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey"])
+    skey = np.sort(np.asarray(nation["n_nationkey"], dtype=np.int64))
+    s_lon = ((skey * 131) % 360 - 180 + 0.5).astype(np.float64)
+    s_lat = ((skey * 37) % 160 - 80 + 0.5).astype(np.float64)
+    tree = STRtree(np.column_stack([s_lon, s_lat, s_lon, s_lat]))
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _knn(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        lon, lat = event_lonlat(eid)
+        qi, ii = knn_candidates(
+            tree, lon, lat, K,
+            dist_m=lambda a, b2: hav_m(lon[a], lat[a], s_lon[b2], s_lat[b2]),
+        )
+        d = hav_m(lon[qi], lat[qi], s_lon[ii], s_lat[ii])
+        order = np.lexsort((ii, d, qi))  # per-point (d, station_id) ascending
+        qs, is_, ds_ = qi[order], ii[order], d[order]
+        rank = np.arange(qs.size) - np.searchsorted(qs, qs, side="left")
+        keep = rank < K
+        return pa.table(
+            {
+                "event_id": pa.array(eid[qs[keep]], pa.int64()),
+                "rk": pa.array(rank[keep] + 1, pa.int64()),
+                "station_id": pa.array(skey[is_[keep]], pa.int64()),
+                "dist_m": pa.array(r3(ds_[keep]), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_knn, batch_format="pyarrow")
+
+
+def q_pip_rtree(sf_dir: str):
+    """Point-in-polygon (rectangle) join via the STR-packed R-tree — the
+    north rule's literal "R-tree-backed point-in-polygon": region boxes
+    load the tree once, each batch runs the vectorized containment
+    traversal (closed-box candidates) and refines with the exact
+    half-open predicate. Must equal ``q_pip_region``'s broadcast mask
+    row-for-row (same SQL oracle)."""
+    import ray.data as rd
+
+    from ..rtree import STRtree
+
+    region = papq.read_table(_pq(sf_dir, "region"), columns=["r_regionkey"])
+    rkey = np.sort(np.asarray(region["r_regionkey"], dtype=np.int64))
+    lon_w = (rkey * 60 - 170).astype(np.float64)
+    lon_e = lon_w + 55.0
+    lat_s = (rkey * 25 - 70).astype(np.float64)
+    lat_n = lat_s + 48.0
+    tree = STRtree(np.column_stack([lon_w, lat_s, lon_e, lat_n]))
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+
+    def _pip(b: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(np.asarray(b["event_id"]))
+        qi, ii = tree.query_points(lon, lat)
+        # exact half-open refine (tree candidates are closed-box)
+        keep = (lon[qi] < lon_e[ii]) & (lat[qi] < lat_n[ii])
+        counts = np.bincount(ii[keep], minlength=rkey.size).astype(np.int64)
+        nz = counts > 0
+        return pa.table(
+            {"region": pa.array(rkey[nz], pa.int64()), "n": pa.array(counts[nz], pa.int64())}
+        )
+
+    partial = ds.map_batches(_pip, batch_format="pyarrow")
+    out = partial.groupby("region").sum("n")
+    return out.map_batches(lambda t: t.rename_columns(["region", "n"]), batch_format="pyarrow")
+
+
 def q_hll_users(sf_dir: str):
     """HyperLogLog register sketch of distinct users (p=10): per-batch
     bounded register partials → one tiny ``groupby(reg).max(rho)`` — the
@@ -4335,13 +4418,15 @@ def registry() -> dict[str, tuple]:
         "raster_components": (q_raster_components, sql_raster_components()),
         "nn_station": (q_nn_station, sql_nn_station()),
         "knn_station": (q_knn_station, sql_knn_station()),
+        # r5-new: the R-tree-backed candidate paths (never checked); must
+        # reproduce their broadcast twins exactly (same SQL oracles)
+        "knn_rtree": (q_knn_rtree, sql_knn_station()),
         "pip_region": (q_pip_region, sql_pip_region()),
+        "pip_rtree": (q_pip_rtree, sql_pip_region()),
         # nation is the fixed 25-row TPC-H table at every sf, so the
         # polygon VALUES literal is sf-invariant
         "pip_polygon": (q_pip_polygon, sql_pip_polygon()),
-        "cover_cells": (q_cover_cells, sql_cover_cells()),
         "coloc_pairs": (q_coloc_pairs, sql_coloc_pairs()),
-        "coloc_pairs_m": (q_coloc_pairs_m, sql_coloc_pairs_m()),
         "hausdorff_pairs": (q_hausdorff_pairs, sql_hausdorff_pairs()),
         "frechet_pairs": (q_frechet_pairs, sql_frechet_pairs()),
         "track_clusters": (q_track_clusters, sql_track_clusters()),
@@ -4393,6 +4478,8 @@ def registry() -> dict[str, tuple]:
         "cms_users": (q_cms_users, sql_cms_users()),
         "heavy_items": (q_heavy_items, sql_heavy_items()),
         "polygon_area": (q_polygon_area, sql_polygon_area()),
+        "cover_cells": (q_cover_cells, sql_cover_cells()),
+        "coloc_pairs_m": (q_coloc_pairs_m, sql_coloc_pairs_m()),
         # rows-only by design (approximate pipelines over the sf corpus);
         # their oracled planted siblings + precision pytests stay in-window
         "minhash_pairs": (q_minhash_pairs, None),
