@@ -284,6 +284,21 @@ def _group_matches(
     return ok & time_ok
 
 
+def _group_matchable(
+    g: ConditionGroup,
+    holidays: np.ndarray | None,
+    school_holidays: np.ndarray | None,
+) -> bool:
+    """Can this group EVER match given the supplied holiday tables? A
+    holiday-only group (day_mask 0) with its table absent cannot — its
+    condition is unevaluable, not false."""
+    if g.day_mask:
+        return True
+    return (g.ph and holidays is not None and holidays.size > 0) or (
+        g.sh and school_holidays is not None and school_holidays.size > 0
+    )
+
+
 def evaluate(
     rule: AccessRule,
     ts_us: np.ndarray,
@@ -297,13 +312,20 @@ def evaluate(
     opposite ("no @ …" means open outside the window), matching OSM
     conditional semantics where the conditional value overrides the
     implied base value. ``holidays``/``school_holidays`` (from
-    :func:`holiday_days`) feed the PH/SH tokens.
+    :func:`holiday_days`) feed the PH/SH tokens. A rule whose EVERY group
+    is unevaluable (holiday-only groups with no table supplied) falls
+    back to ``default`` — the unparseable-condition posture, so
+    "yes @ (PH)" without a holiday calendar stays open rather than
+    flipping to permanently closed.
     """
     ts_us = np.asarray(ts_us, dtype=np.int64)
     if rule.unconditional:
         return np.full(ts_us.shape, rule.value, dtype=bool)
+    live = [g for g in rule.groups if _group_matchable(g, holidays, school_holidays)]
+    if not live:
+        return np.full(ts_us.shape, default, dtype=bool)
     cond = np.zeros(ts_us.shape, dtype=bool)
-    for g in rule.groups:
+    for g in live:
         cond |= _group_matches(g, ts_us, holidays, school_holidays)
     return np.where(cond, rule.value, not rule.value)
 
@@ -318,6 +340,7 @@ class StackedAccess:
 
     base: bool
     clauses: list[tuple[bool, list[ConditionGroup]]]
+    explicit_base: bool = False  # a bare yes/no clause set the base
 
 
 def _split_top(expr: str) -> list[str]:
@@ -360,12 +383,13 @@ def parse_access_stacked(expr: str | None, default: bool = True) -> StackedAcces
             continue
         if groups:
             clauses.append((m.group(1) == "yes", groups))
+    explicit = base is not None
     if base is None:
         # no bare base value: the complement of the first clause's value
         # (matches parse_access's single-clause conditional-overrides-base
         # semantics: "yes @ (Sa,Su)" alone means closed on other days)
         base = (not clauses[0][0]) if clauses else default
-    return StackedAccess(base, clauses)
+    return StackedAccess(base, clauses, explicit_base=explicit)
 
 
 def evaluate_stacked(
@@ -375,12 +399,25 @@ def evaluate_stacked(
     school_holidays: np.ndarray | None = None,
 ) -> np.ndarray:
     """Vectorized stacked evaluation: base value, then each clause in
-    order overrides where its condition matches (last match wins)."""
+    order overrides where its condition matches (last match wins).
+    Clauses whose every group is unevaluable (holiday-only, no table)
+    assert nothing; if NO clause is evaluable and the base was only
+    inferred (no bare yes/no), the whole expression falls back to open —
+    the unparseable posture of :func:`evaluate`."""
     ts_us = np.asarray(ts_us, dtype=np.int64)
+    live = [
+        (v, gs)
+        for v, gs in sa.clauses
+        if any(_group_matchable(g, holidays, school_holidays) for g in gs)
+    ]
+    if sa.clauses and not live and not sa.explicit_base:
+        return np.full(ts_us.shape, True, dtype=bool)
     out = np.full(ts_us.shape, sa.base, dtype=bool)
-    for value, groups in sa.clauses:
+    for value, groups in live:
         cond = np.zeros(ts_us.shape, dtype=bool)
         for g in groups:
+            if not _group_matchable(g, holidays, school_holidays):
+                continue
             cond |= _group_matches(g, ts_us, holidays, school_holidays)
         out = np.where(cond, value, out)
     return out

@@ -590,11 +590,14 @@ def incremental_match(
 
         ids = group["doc_id"].to_pylist()
         ts = group["pts_ts"].to_pylist()
+        rows = sorted(
+            (ids[i].encode() + b"\x00" + np.asarray(ts[i] or [], dtype=np.int64).tobytes())
+            for i in range(len(ids))
+        )  # full-row sort: duplicate doc_ids stay order-independent too
         h = hashlib.md5()
-        for i in sorted(range(len(ids)), key=ids.__getitem__):
-            h.update(ids[i].encode())
-            h.update(b"\x00")
-            h.update(np.asarray(ts[i] or [], dtype=np.int64).tobytes())
+        for r in rows:
+            h.update(r)
+            h.update(b"\x01")
         return h.hexdigest()
 
     def _shard_group(group: pa.Table) -> pa.Table:

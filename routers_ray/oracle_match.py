@@ -891,6 +891,7 @@ _HOLIDAY_CONDITIONS = [
     "no @ (22:00-06:00); no @ (PH)",
     "yes @ (Sa,Su); yes @ (PH)",
     "no @ (Mo-Fr 07:00-09:00,16:00-19:00); yes @ (SH Sa,Su)",
+    "no @ (PH 10:00)",  # bare time point = one-hour window, on holidays
     "designated @ sunrise-sunset",  # unparseable clause -> asserts nothing
 ]
 
@@ -951,13 +952,19 @@ def _scalar_group_match(group: str, d, date_str: str,
         if tok[0].isdigit():
             windows = windows or []
             for rp in tok.split(","):
-                a, b = rp.split("-", 1)
 
                 def mins(t):
                     bits = t.split(":")
                     return int(bits[0]) * 60 + (int(bits[1]) if len(bits) > 1 else 0)
 
-                windows.append((mins(a), mins(b)))
+                if "-" in rp:
+                    a, b = rp.split("-", 1)
+                    windows.append((mins(a), mins(b)))
+                else:
+                    # bare time point = one-hour window, matching the
+                    # engine's _parse_times (opening_hours.rs:276-283)
+                    m0 = mins(rp)
+                    windows.append((m0, (m0 + 60) % 1440))
         elif tok.split(",")[0].split("-")[0] in mon_names:
             months = (months or set()) | expand(mon_names, tok.split(","))
         else:

@@ -433,16 +433,35 @@ def sql_haversine_track() -> str:
     """
 
 
+def _station_coords(sf_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The planted station layout (key, lon, lat) — must stay bit-identical
+    to the `st` CTE of sql_nn_station / sql_knn_station; shared by the
+    broadcast and R-tree twins so the formulas cannot drift apart."""
+    nation = papq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey"])
+    skey = np.sort(np.asarray(nation["n_nationkey"], dtype=np.int64))
+    s_lon = ((skey * 131) % 360 - 180 + 0.5).astype(np.float64)
+    s_lat = ((skey * 37) % 160 - 80 + 0.5).astype(np.float64)
+    return skey, s_lon, s_lat
+
+
+def _region_boxes(sf_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """The planted region rectangles (key, w, e, s, n) — must stay
+    bit-identical to sql_pip_region's box CTE; shared by the broadcast
+    and R-tree twins."""
+    region = papq.read_table(_pq(sf_dir, "region"), columns=["r_regionkey"])
+    rkey = np.sort(np.asarray(region["r_regionkey"], dtype=np.int64))
+    lon_w = (rkey * 60 - 170).astype(np.float64)
+    lat_s = (rkey * 25 - 70).astype(np.float64)
+    return rkey, lon_w, lon_w + 55.0, lat_s, lat_s + 48.0
+
+
 def q_nn_station(sf_dir: str):
     """1-NN broadcast join: each event point snapped to the nearest of 25
     nation-derived stations (the ``Snap``/proximity-service pattern —
     small side broadcast, no shuffle; ``routers_rpc`` ScanService)."""
     import ray.data as rd
 
-    nation = papq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey"])
-    skey = np.sort(np.asarray(nation["n_nationkey"], dtype=np.int64))
-    s_lon = ((skey * 131) % 360 - 180 + 0.5).astype(np.float64)
-    s_lat = ((skey * 37) % 160 - 80 + 0.5).astype(np.float64)
+    skey, s_lon, s_lat = _station_coords(sf_dir)
 
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
 
@@ -489,10 +508,7 @@ def q_knn_station(sf_dir: str):
     import ray.data as rd
 
     K = 3
-    nation = papq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey"])
-    skey = np.sort(np.asarray(nation["n_nationkey"], dtype=np.int64))
-    s_lon = ((skey * 131) % 360 - 180 + 0.5).astype(np.float64)
-    s_lat = ((skey * 37) % 160 - 80 + 0.5).astype(np.float64)
+    skey, s_lon, s_lat = _station_coords(sf_dir)
 
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
 
@@ -553,10 +569,7 @@ def q_knn_rtree(sf_dir: str):
     from ..rtree import STRtree, knn_candidates
 
     K = 3
-    nation = papq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey"])
-    skey = np.sort(np.asarray(nation["n_nationkey"], dtype=np.int64))
-    s_lon = ((skey * 131) % 360 - 180 + 0.5).astype(np.float64)
-    s_lat = ((skey * 37) % 160 - 80 + 0.5).astype(np.float64)
+    skey, s_lon, s_lat = _station_coords(sf_dir)
     tree = STRtree(np.column_stack([s_lon, s_lat, s_lon, s_lat]))
 
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
@@ -596,12 +609,7 @@ def q_pip_rtree(sf_dir: str):
 
     from ..rtree import STRtree
 
-    region = papq.read_table(_pq(sf_dir, "region"), columns=["r_regionkey"])
-    rkey = np.sort(np.asarray(region["r_regionkey"], dtype=np.int64))
-    lon_w = (rkey * 60 - 170).astype(np.float64)
-    lon_e = lon_w + 55.0
-    lat_s = (rkey * 25 - 70).astype(np.float64)
-    lat_n = lat_s + 48.0
+    rkey, lon_w, lon_e, lat_s, lat_n = _region_boxes(sf_dir)
     tree = STRtree(np.column_stack([lon_w, lat_s, lon_e, lat_n]))
 
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
@@ -1762,12 +1770,7 @@ def q_pip_region(sf_dir: str):
     broadcast ranges + vectorized mask (no shuffle)."""
     import ray.data as rd
 
-    region = papq.read_table(_pq(sf_dir, "region"), columns=["r_regionkey"])
-    rkey = np.sort(np.asarray(region["r_regionkey"], dtype=np.int64))
-    lon_w = (rkey * 60 - 170).astype(np.float64)
-    lon_e = lon_w + 55.0
-    lat_s = (rkey * 25 - 70).astype(np.float64)
-    lat_n = lat_s + 48.0
+    rkey, lon_w, lon_e, lat_s, lat_n = _region_boxes(sf_dir)
 
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
 
@@ -3743,8 +3746,6 @@ def q_span_integrity(sf_dir: str):
             }
         )
 
-    import pandas as pd
-
     return (
         out.map_batches(_sig, batch_format="pyarrow")
         .groupby("doc_id")
@@ -4164,6 +4165,10 @@ def q_embed_dups(sf_dir: str):
     def _pairs(b: pa.Table) -> pa.Table:
         ids = np.asarray(b["vec_id"], dtype=np.int64)
         vecs = _stack_embeddings(b["embedding"])
+        if vecs.size == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         vn = np.linalg.norm(vecs, axis=1)
         sims = (vecs @ all_vecs.T) / np.maximum(vn[:, None] * norms[None, :], 1e-300)
         sims = np.floor(sims * 1e6 + 0.5) / 1e6

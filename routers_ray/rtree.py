@@ -148,27 +148,40 @@ class STRtree:
         self, lons: np.ndarray, lats: np.ndarray, r_deg: float
     ) -> tuple[np.ndarray, np.ndarray]:
         """Candidate (point_idx, item_idx) pairs whose item bbox intersects
-        the point's ±r_deg box."""
+        the point's ±r_deg box. Longitude WRAPS: the metric is periodic in
+        lon but the boxes are not, so each point is also probed at
+        lon±360 — without this, a query near the antimeridian misses
+        metrically-near items on the other side and the kNN early stop
+        returns wrong neighbors."""
         lons = np.asarray(lons, np.float64)
         lats = np.asarray(lats, np.float64)
         r = float(r_deg)
 
-        def test(boxes, qi, nodes):
+        def hit(qlon, boxes, qi, nodes):
             return (
-                (lons[qi] + r >= boxes[nodes, 0])
-                & (lons[qi] - r <= boxes[nodes, 2])
+                (qlon[qi] + r >= boxes[nodes, 0])
+                & (qlon[qi] - r <= boxes[nodes, 2])
                 & (lats[qi] + r >= boxes[nodes, 1])
                 & (lats[qi] - r <= boxes[nodes, 3])
             )
 
-        qi, pos = self._descend(np.arange(lons.size, dtype=np.int64), test)
-        keep = (
-            (lons[qi] + r >= self.item_boxes[pos, 0])
-            & (lons[qi] - r <= self.item_boxes[pos, 2])
-            & (lats[qi] + r >= self.item_boxes[pos, 1])
-            & (lats[qi] - r <= self.item_boxes[pos, 3])
-        )
-        return qi[keep], self.item_order[pos[keep]]
+        out_q: list[np.ndarray] = []
+        out_i: list[np.ndarray] = []
+        for shift in (0.0, -360.0, 360.0):
+            ql = lons + shift
+
+            def test(boxes, qi, nodes, ql=ql):
+                return hit(ql, boxes, qi, nodes)
+
+            qi, pos = self._descend(np.arange(lons.size, dtype=np.int64), test)
+            keep = hit(ql, self.item_boxes, qi, pos)
+            out_q.append(qi[keep])
+            out_i.append(self.item_order[pos[keep]])
+        qi = np.concatenate(out_q)
+        ii = np.concatenate(out_i)
+        # a pair can match both the 0 and ±360 probes when r ≥ ~180°
+        key = np.unique(qi * np.int64(max(self.n_items, 1)) + ii)
+        return key // np.int64(max(self.n_items, 1)), key % np.int64(max(self.n_items, 1))
 
 
 _R_EARTH = 6_371_000.0  # must stay ≤ every caller's haversine radius

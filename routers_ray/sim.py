@@ -23,8 +23,11 @@ def _stack_embeddings(col) -> np.ndarray:
     offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     dim = int(offs[1] - offs[0]) if offs.size > 1 else 0
     # .values is the FULL child even for a sliced ListArray — window it to
-    # this array's span so the matrix has exactly len(col) rows
-    return flat[offs[0] : offs[-1]].reshape(-1, dim) if offs.size > 1 else flat.reshape(-1, max(dim, 1))[:0]
+    # this array's span so the matrix has exactly len(col) rows; an empty
+    # column has no knowable width → (0, 0), callers guard on .size
+    if offs.size <= 1:
+        return np.empty((0, 0), np.float64)
+    return flat[offs[0] : offs[-1]].reshape(-1, dim)
 
 
 def cosine_topk_partial(batch: pa.Table, queries: np.ndarray, query_ids: np.ndarray, k: int,
@@ -86,6 +89,9 @@ def lsh_bucket_batch(batch: pa.Table, planes: np.ndarray,
     (plus neighboring buckets for recall, omitted in the baseline)."""
     vecs = _stack_embeddings(batch[vec_col])
     ids = np.asarray(batch[id_col], dtype=np.int64)
+    if vecs.size == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "bucket": pa.array([], pa.uint64())})
     bits = (vecs @ planes.T) > 0
     weights = (np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64))
     bucket = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
@@ -241,6 +247,10 @@ def embed_dups_lsh(
     def _bucket_rows(b: pa.Table) -> pa.Table:
         vecs = _stack_embeddings(b[vec_col])
         ids = np.asarray(b[id_col], dtype=np.int64)
+        if vecs.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "table_id": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.uint64())})
         outs_id, outs_t, outs_b = [], [], []
         for t in range(n_tables):
             bits = (vecs @ tables[t].T) > 0

@@ -62,6 +62,33 @@ class TestHolidayTokens:
         r = parse_access("no @ (PH)")
         np.testing.assert_array_equal(evaluate(r, TS), [True] * 4)
 
+    def test_missing_table_yes_value_stays_default_allow(self):
+        """'yes @ (PH)' with no table must NOT flip to permanently closed:
+        an unevaluable condition falls back to default-allow, exactly like
+        an unparseable one."""
+        r = parse_access("yes @ (PH)")
+        np.testing.assert_array_equal(evaluate(r, TS), [True] * 4)
+        sa = parse_access_stacked("yes @ (PH)")
+        np.testing.assert_array_equal(evaluate_stacked(sa, TS), [True] * 4)
+
+    def test_missing_table_mixed_group_still_evaluates(self):
+        # Mo-Fr,PH with no table: weekday half still applies, PH inert
+        r = parse_access("no @ (Mo-Fr,PH 08:00-18:00)")
+        np.testing.assert_array_equal(evaluate(r, TS), [False, False, False, True])
+
+    def test_bare_time_point_one_hour_window(self):
+        """'PH 10:00' = [10:00, 11:00) on holidays — engine and the
+        independent scalar oracle agree (the oracle used to drop the
+        clause on a bare point)."""
+        from routers_ray.oracle_match import _scalar_stacked_open
+
+        sa = parse_access_stacked("no @ (PH 10:00)")
+        got = evaluate_stacked(sa, TS, holidays=PH)
+        np.testing.assert_array_equal(got, [False, True, True, True])
+        ref = [_scalar_stacked_open("no @ (PH 10:00)", int(t)) for t in TS]
+        # scalar oracle uses the 2024 module-level holiday list; Xmas is in it
+        np.testing.assert_array_equal(got, ref)
+
     def test_opening_hours_reject_holiday_tokens(self):
         with pytest.raises(ValueError):
             parse_opening_hours("Mo-Fr,PH 08:00-18:00")

@@ -69,12 +69,15 @@ class TestQueries:
         lats = rng.uniform(-85, 85, 150)
         r = 3.0
         qi, ii = t.query_radius_deg(lons, lats, r)
-        hit = (
-            (lons[:, None] + r >= boxes[None, :, 0])
-            & (lons[:, None] - r <= boxes[None, :, 2])
-            & (lats[:, None] + r >= boxes[None, :, 1])
-            & (lats[:, None] - r <= boxes[None, :, 3])
-        )
+        hit = np.zeros((lons.size, boxes.shape[0]), dtype=bool)
+        for shift in (0.0, -360.0, 360.0):  # the tree wraps longitude
+            ql = lons + shift
+            hit |= (
+                (ql[:, None] + r >= boxes[None, :, 0])
+                & (ql[:, None] - r <= boxes[None, :, 2])
+                & (lats[:, None] + r >= boxes[None, :, 1])
+                & (lats[:, None] - r <= boxes[None, :, 3])
+            )
         assert _pairs(qi, ii) == _pairs(*np.nonzero(hit))
 
     def test_empty_tree_returns_nothing(self):
@@ -106,6 +109,28 @@ class TestKnnCandidates:
             order = np.argsort(d, kind="stable")
             got = cand[order][:k]
             # exact refine over the candidate set reproduces brute top-k
+            np.testing.assert_array_equal(np.sort(got), np.sort(want[p]))
+
+    def test_antimeridian_neighbors_found(self):
+        """The degree box does not wrap but the metric does: stations
+        straddling lon ±180 must still yield the true haversine top-k
+        (the naive non-wrapping early stop returns the wrong set)."""
+        from routers_ray.pipelines.queries import hav_m
+
+        plon = np.array([179.6, 179.7, 179.8, -179.9, 170.0, -170.0])
+        plat = np.zeros(6)
+        t = STRtree(np.column_stack([plon, plat, plon, plat]))
+        lons = np.array([179.9, -179.95, 178.0])
+        lats = np.zeros(3)
+        k = 3
+        d_all = hav_m(lons[:, None], lats[:, None], plon[None, :], plat[None, :])
+        qi, ii = knn_candidates(
+            t, lons, lats, k, r0_deg=1.0, dist_m=lambda a, b: d_all[a, b]
+        )
+        want = np.argsort(d_all, axis=1, kind="stable")[:, :k]
+        for p in range(lons.size):
+            cand = ii[qi == p]
+            got = cand[np.argsort(d_all[p, cand], kind="stable")][:k]
             np.testing.assert_array_equal(np.sort(got), np.sort(want[p]))
 
     def test_every_point_gets_at_least_k(self):
