@@ -27,7 +27,12 @@ import numpy as np
 
 
 class STRtree:
-    """Bulk-loaded R-tree over (n, 4) boxes ``[w, s, e, n]``."""
+    """Bulk-loaded R-tree over (n, 4) boxes ``[w, s, e, n]``.
+
+    Contract: item boxes must be NON-WRAPPING (w ≤ e); a box crossing the
+    antimeridian must be split into its two [-180, e] / [w, 180] halves by
+    the caller before loading (query-side lon wrap IS handled — see
+    :meth:`query_radius_deg`)."""
 
     def __init__(self, boxes: np.ndarray, capacity: int = 16):
         boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)

@@ -157,3 +157,63 @@ class TestScalarOracleAgreement:
             vec = evaluate_stacked(parse_access_stacked(cond), probes, ph, sh)
             ref = [_scalar_stacked_open(cond, int(t)) for t in probes]
             np.testing.assert_array_equal(vec, ref, err_msg=str(cond))
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: random grammar expressions, vectorized == scalar oracle
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_DAY_TOKS = ["Mo", "Tu", "We", "Th", "Fr", "Sa", "Su", "Mo-Fr", "Sa-Mo",
+             "Sa,Su", "Mo,We,Fr", "PH", "SH", "Mo-Fr,PH", "Sa,SH"]
+_MON_TOKS = ["Jan", "Dec", "Jan-Mar", "Nov-Feb", "Jul", "Jun,Aug"]
+_TIME_TOKS = ["07:00-19:00", "22:00-06:00", "10:00-14:00",
+              "07:00-09:00,16:00-19:00", "08:00", "7-19", "23:30"]
+
+
+@st.composite
+def _group(draw):
+    parts = []
+    if draw(st.booleans()):
+        parts.append(draw(st.sampled_from(_MON_TOKS)))
+    if draw(st.booleans()) or not parts:
+        parts.append(draw(st.sampled_from(_DAY_TOKS)))
+    if draw(st.booleans()):
+        parts.append(draw(st.sampled_from(_TIME_TOKS)))
+    return " ".join(parts)
+
+
+@st.composite
+def _expr(draw):
+    n = draw(st.integers(1, 3))
+    clauses = []
+    for _ in range(n):
+        val = draw(st.sampled_from(["yes", "no"]))
+        groups = "; ".join(draw(_group()) for _ in range(draw(st.integers(1, 2))))
+        clauses.append(f"{val} @ ({groups})")
+    if draw(st.booleans()):
+        clauses.insert(0, draw(st.sampled_from(["yes", "no"])))
+    return "; ".join(clauses)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_expr(), st.integers(0, 8))
+def test_fuzz_vectorized_equals_scalar(expr, probe_i):
+    """Random stacked/holiday expressions at every planted probe: the
+    bitmask/vectorized evaluator and the independent datetime+set scalar
+    must agree exactly (both see the same holiday tables)."""
+    from routers_ray.oracle_match import HOLIDAY_PROBES_US, _scalar_stacked_open
+
+    ts = np.asarray([HOLIDAY_PROBES_US[probe_i]], dtype=np.int64)
+    from routers_ray.access import holiday_days as _hd
+    from routers_ray.oracle_match import PUBLIC_HOLIDAYS_2024, SCHOOL_HOLIDAYS_2024
+
+    got = evaluate_stacked(
+        parse_access_stacked(expr), ts,
+        holidays=_hd(PUBLIC_HOLIDAYS_2024),
+        school_holidays=_hd(SCHOOL_HOLIDAYS_2024),
+    )[0]
+    want = _scalar_stacked_open(expr, int(ts[0]))
+    assert bool(got) == bool(want), expr
