@@ -275,9 +275,10 @@ def run_bench() -> dict:
                  "hausdorff_pairs", "cell_transitions", "dwell_polygon",
                  "heavy_items",
                  # round-5 families: mixed-zoom compaction, eval-leakage
-                 # decontamination, Frechet pair join, holiday/stacked access
+                 # decontamination, Frechet pair join, holiday/stacked access,
+                 # and the R-tree twins (vs their broadcast originals above)
                  "compact_cells", "decontaminate", "frechet_pairs",
-                 "holiday_access"):
+                 "holiday_access", "knn_station", "knn_rtree", "pip_rtree"):
         fn, _ = reg[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)
